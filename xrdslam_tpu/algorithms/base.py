@@ -1,0 +1,100 @@
+"""Algorithm base: host-side driver around jitted tracking/mapping steps.
+
+Counterpart of the reference's ``Algorithm`` ABC (reference:
+slam/algorithms/base_algorithm.py:44-302), redesigned for one process and
+one device program: instead of a BaseManager proxy + per-iteration Python
+optimization loops, each concrete algorithm compiles ``track_step`` /
+``map_step`` functions whose inner optimization iterations run as
+``lax.scan`` on device (reference's hot loops: base_algorithm.py:255-273).
+The host keeps only bookkeeping (pose lists, keyframe metadata) — no locks
+are needed because there is exactly one mutator.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Type
+
+import numpy as np
+
+from ..common.camera import Camera
+from ..common.frame import Frame
+from ..configs.base import InstantiateConfig
+from ..engine.optimizers import OptimizerConfig
+from ..models.base import ModelConfig
+
+
+def default_optimizers() -> Dict[str, Any]:
+    return {
+        "model": {"optimizer": OptimizerConfig(lr=1e-2), "scheduler": None},
+        "tracking_pose": {"optimizer": OptimizerConfig(lr=1e-2), "scheduler": None},
+        "mapping_pose": {"optimizer": OptimizerConfig(lr=1e-3), "scheduler": None},
+    }
+
+
+@dataclass
+class AlgorithmConfig(InstantiateConfig):
+    """reference: slam/algorithms/base_algorithm.py:16-41."""
+
+    _target: Type = field(default_factory=lambda: Algorithm)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    keyframe_selection_method: str = "overlap"
+    keyframe_use_ray_sample: bool = True
+    tracking_n_iters: int = 10
+    mapping_n_iters: int = 60
+    mapping_first_n_iters: int = 200
+    coarse: bool = False
+    mapping_window_size: int = 5
+    separate_LR: bool = False
+    rot_rep: str = "axis_angle"
+    retain_graph: bool = False
+    optimizers: Dict[str, Any] = field(default_factory=default_optimizers)
+
+
+class Algorithm:
+    def __init__(self, config: AlgorithmConfig, camera: Camera) -> None:
+        self.config = config
+        self.camera = camera
+        self.initialized = False
+        self.finished = False
+        self.gt_c2w_list: List[np.ndarray] = []
+        self.gt_c2w_list_ori: List[np.ndarray] = []
+        self.estimate_c2w_list: List[np.ndarray] = []
+        self.keyframe_fids: List[int] = []
+        self.bundle_adjust = False
+
+    # -- host bookkeeping (reference: base_algorithm.py:106-158) ----------
+    def add_framepose(self, c2w: np.ndarray, gt_c2w: np.ndarray, gt_c2w_ori: np.ndarray) -> None:
+        self.estimate_c2w_list.append(np.asarray(c2w))
+        self.gt_c2w_list.append(np.asarray(gt_c2w))
+        self.gt_c2w_list_ori.append(np.asarray(gt_c2w_ori))
+
+    def update_framepose(self, idx: int, c2w: np.ndarray) -> None:
+        self.estimate_c2w_list[idx] = np.asarray(c2w)
+
+    def get_estimate_c2w_list(self) -> List[np.ndarray]:
+        return self.estimate_c2w_list
+
+    def is_initialized(self) -> bool:
+        return self.initialized
+
+    def set_initialized(self) -> None:
+        self.initialized = True
+
+    # -- to implement -----------------------------------------------------
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        raise NotImplementedError
+
+    def do_mapping(self, cur_frame: Frame) -> None:
+        raise NotImplementedError
+
+    def add_keyframe(self, cur_frame: Frame) -> None:
+        raise NotImplementedError
+
+    def render_img(self, c2w: np.ndarray, gt_depth: Optional[np.ndarray] = None, idx: Optional[int] = None):
+        return None, None
+
+    def get_mesh(self):
+        return None
+
+    def get_cloud(self, c2w_np: np.ndarray, gt_depth_np: Optional[np.ndarray]):
+        return None

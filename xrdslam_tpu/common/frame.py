@@ -1,0 +1,54 @@
+"""Per-frame container: images + optimizable pose vector.
+
+Host-side counterpart of the reference's ``Frame`` (reference:
+slam/common/frame.py:10-74) and ``OptimizablePose``
+(slam/utils/opt_pose.py:13-109). Here the pose is just a (t, r) numpy pair
+— the trainable device copy lives inside the jitted tracking/mapping state,
+so this class only does conversions and the construction-time round-trip
+consistency check the reference performs (frame.py:39-43).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..ops import lie
+
+
+class Frame:
+    def __init__(
+        self,
+        fid: int,
+        rgb: Optional[np.ndarray],
+        depth: Optional[np.ndarray],
+        init_pose: Optional[np.ndarray] = None,
+        gt_pose: Optional[np.ndarray] = None,
+        rot_rep: str = "axis_angle",
+    ) -> None:
+        self.fid = fid
+        self.rgb = rgb
+        self.depth = depth
+        self.gt_pose = gt_pose
+        self.rot_rep = rot_rep
+        self.is_final_frame = False
+        if depth is not None:
+            self.h, self.w = depth.shape
+        elif rgb is not None:
+            self.h, self.w = rgb.shape[0], rgb.shape[1]
+        self.t: Optional[np.ndarray] = None
+        self.r: Optional[np.ndarray] = None
+        if init_pose is not None:
+            self.set_pose(np.asarray(init_pose, np.float32), check=True)
+
+    def set_pose(self, c2w: np.ndarray, check: bool = False) -> None:
+        t, r = lie.matrix_to_pose_vec(np.asarray(c2w, np.float32), rot_rep=self.rot_rep)
+        self.t = np.asarray(t)
+        self.r = np.asarray(r)
+        if check:
+            back = np.asarray(lie.pose_vec_to_matrix(self.t, self.r, rot_rep=self.rot_rep))
+            if not np.allclose(np.asarray(c2w), back, atol=1e-3):
+                raise ValueError("Transformation inconsistency detected!", c2w, back)
+
+    def get_pose(self) -> np.ndarray:
+        return np.asarray(lie.pose_vec_to_matrix(self.t, self.r, rot_rep=self.rot_rep))

@@ -84,8 +84,6 @@ def build_parser(registry: Dict[str, Any], descriptions: Optional[Dict[str, str]
     descriptions = descriptions or {}
     for name, cfg in registry.items():
         p = sub.add_parser(name, help=descriptions.get(name, ""), formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-        p.add_argument("--data", type=str, required=False, default=None, help="dataset directory")
-        p.add_argument("--data-type", type=str, required=False, default=None, help="dataset type (replica/tum/scannet/synthetic/...)")
         for dotted, default in _collect_leaves(cfg).items():
             p.add_argument(
                 _flag_name(dotted),

@@ -1,0 +1,174 @@
+"""Single-process SLAM pipeline: tracker/mapper as alternating device steps.
+
+Replaces the reference's three-process architecture (reference:
+slam/pipeline/xrdslam.py:39-95 — BaseManager RPC + mp.Queue + event
+handshake) with one host loop driving jitted device programs. The
+reference's tracker and mapper already alternate strictly for mapped frames
+(tracker.py:152-155 blocks on event_processed), so a single loop preserves
+the execution order exactly while removing all serialization: frames are
+uploaded once, and each do_tracking/do_mapping is one device program launch.
+
+Tracker semantics preserved (reference: slam/pipeline/tracker.py:52-199):
+constant-velocity pose prediction, map_every / keyframe_every gating,
+relative-pose mode with init offset, final-frame forcing, eval.tar output.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Type
+
+import numpy as np
+
+from ..algorithms.base import Algorithm
+from ..common.frame import Frame
+from ..configs.base import InstantiateConfig
+from ..utils.io import colorize_depth, save_image
+
+
+@dataclass
+class TrackerConfig(InstantiateConfig):
+    """reference: slam/pipeline/tracker.py:19-31."""
+
+    _target: Type = field(default_factory=lambda: object)
+    render_freq: int = 1
+    map_every: int = 1
+    lazy_start: int = -1
+    use_relative_pose: bool = False
+    save_debug_result: bool = False
+    save_gt_mesh: bool = False
+    save_re_render_result: bool = True
+    init_pose_offset: float = 0.0
+
+
+@dataclass
+class MapperConfig(InstantiateConfig):
+    """reference: slam/pipeline/mapper.py."""
+
+    _target: Type = field(default_factory=lambda: object)
+    keyframe_every: int = 50
+
+
+@dataclass
+class SLAMPipelineConfig(InstantiateConfig):
+    """reference: slam/pipeline/xrdslam.py XRDSLAMConfig."""
+
+    _target: Type = field(default_factory=lambda: SLAMPipeline)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    algorithm: InstantiateConfig = field(default_factory=InstantiateConfig)
+    enable_vis: bool = False
+    device: str = "tpu"
+
+
+class SLAMPipeline:
+    def __init__(self, config: SLAMPipelineConfig, dataset, out_dir: str = "outputs", verbose: bool = True) -> None:
+        self.config = config
+        self.dataset = dataset
+        self.out_dir = out_dir
+        self.verbose = verbose
+        self.camera = dataset.get_camera()
+        self.algorithm: Algorithm = config.algorithm.setup(camera=self.camera)
+        for sub in ("mesh", "cloud", "imgs"):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        self.frame_times = []
+
+    # ------------------------------------------------------------------
+    def predict_current_pose(self, frame_id: int, gt_c2w: np.ndarray) -> np.ndarray:
+        """Constant-velocity motion model (reference: tracker.py:185-199)."""
+        est = self.algorithm.get_estimate_c2w_list()
+        if frame_id < 1:
+            return gt_c2w
+        if frame_id == 1:
+            return est[0]
+        delta = est[frame_id - 1] @ np.linalg.inv(est[frame_id - 2])
+        return delta @ est[frame_id - 1]
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        cfg_t = self.config.tracker
+        cfg_m = self.config.mapper
+        algo = self.algorithm
+        n = len(self.dataset)
+        first_pose_old = first_pose_new = None
+        for i in range(n):
+            idx, rgb, depth, gt_c2w = self.dataset[i]
+            gt_c2w_ori = gt_c2w.copy()
+            if cfg_t.use_relative_pose:
+                if i == 0:
+                    first_pose_old = gt_c2w.copy()
+                    gt_c2w = np.eye(4, dtype=np.float32)
+                    gt_c2w[:3, 3] += cfg_t.init_pose_offset
+                    first_pose_new = gt_c2w.copy()
+                else:
+                    delta = np.linalg.inv(first_pose_old) @ gt_c2w
+                    gt_c2w = (first_pose_new @ delta).astype(np.float32)
+
+            t0 = time.time()
+            init_pose = self.predict_current_pose(i, gt_c2w)
+            frame = Frame(fid=i, rgb=rgb, depth=depth, init_pose=init_pose, gt_pose=gt_c2w, rot_rep=algo.config.rot_rep)
+            frame.is_final_frame = i == n - 1
+
+            candidate = algo.do_tracking(frame)
+            if candidate is not None and algo.is_initialized():
+                frame.set_pose(candidate)
+            algo.add_framepose(frame.get_pose(), gt_c2w, gt_c2w_ori)
+
+            # mapping gate (reference: tracker.py:171-183)
+            map_every = 1 if i <= cfg_t.lazy_start else cfg_t.map_every
+            if map_every != -1 and (i % map_every == 0 or frame.is_final_frame):
+                algo.do_mapping(frame)
+                algo.update_framepose(i, frame.get_pose())
+                if i % cfg_m.keyframe_every == 0:
+                    algo.add_keyframe(frame)
+            self.frame_times.append(time.time() - t0)
+
+            if (
+                cfg_t.save_debug_result
+                and algo.is_initialized()
+                and cfg_t.render_freq > 0
+                and (i % cfg_t.render_freq == 0 or frame.is_final_frame)
+            ):
+                self.save_debug_results(i, rgb, depth, frame.get_pose())
+
+            if self.verbose and (i % 20 == 0 or frame.is_final_frame):
+                fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
+                print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
+
+        self.save_eval_tar()
+        if cfg_t.save_re_render_result:
+            self.save_final_mesh()
+        algo.finished = True
+
+    # ------------------------------------------------------------------
+    def save_debug_results(self, idx: int, gt_rgb, gt_depth, c2w) -> None:
+        color, depth = self.algorithm.render_img(c2w, gt_depth=gt_depth, idx=idx)
+        if color is None:
+            return
+        md = float(np.max(gt_depth)) if gt_depth is not None else None
+        panel = np.concatenate(
+            [
+                np.concatenate([gt_rgb, color], axis=1),
+                np.concatenate([colorize_depth(gt_depth, md), colorize_depth(depth, md)], axis=1),
+            ],
+            axis=0,
+        )
+        save_image(os.path.join(self.out_dir, "imgs", f"frame_{idx:05d}.jpg"), panel)
+
+    def save_eval_tar(self) -> None:
+        """Trajectory archive for ds-eval (reference: tracker.py:269-278)."""
+        data = {
+            "gt_c2w_list": [np.asarray(p) for p in self.algorithm.gt_c2w_list],
+            "gt_c2w_list_ori": [np.asarray(p) for p in self.algorithm.gt_c2w_list_ori],
+            "estimate_c2w_list": [np.asarray(p) for p in self.algorithm.estimate_c2w_list],
+            "idx": len(self.algorithm.estimate_c2w_list) - 1,
+        }
+        with open(os.path.join(self.out_dir, "eval.tar"), "wb") as f:
+            pickle.dump(data, f)
+
+    def save_final_mesh(self) -> None:
+        mesh = self.algorithm.get_mesh()
+        if mesh is not None:
+            mesh.export(os.path.join(self.out_dir, "mesh", "final_mesh_rec.ply"))
