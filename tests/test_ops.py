@@ -92,14 +92,19 @@ def test_raw2outputs_sdf_depth():
 
 
 def test_raw2outputs_occupancy_opaque_first_sample():
+    # alpha = sigmoid(10 * occ) (reference: utils.py:230-232): raw occ of -10
+    # is transparent (alpha~0), +10 fully opaque (alpha~1).
     n, s = 2, 16
     z = jnp.broadcast_to(jnp.linspace(0.5, 2.0, s), (n, s))
-    occ = jnp.zeros((n, s)).at[:, 3].set(1.0)  # fully opaque at sample 3
+    occ = jnp.full((n, s), -10.0).at[:, 3].set(10.0)
     rgbs = jnp.ones((n, s, 3)) * 0.25
     raw = jnp.concatenate([rgbs, occ[..., None]], -1)
     depth, dvar, rgb, w = rendering.raw2outputs_occupancy(raw, z)
-    np.testing.assert_allclose(np.asarray(depth), np.asarray(z[:, 3]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(w[:, 3]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(z[:, 3]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w[:, 3]), 1.0, atol=1e-3)
+    # gradient survives saturated alphas (log-space transmittance)
+    g = jax.grad(lambda r: rendering.raw2outputs_occupancy(r, z)[0].sum())(raw)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_sample_pdf_concentrates():

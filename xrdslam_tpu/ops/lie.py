@@ -17,6 +17,7 @@ so pose vectors round-trip against the reference's semantics).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
@@ -58,6 +59,16 @@ def skew(v):
 # axis-angle <-> rotation matrix (SO(3) exp / log)
 # ---------------------------------------------------------------------------
 
+def _skew_squared(r):
+    """K(r)^2 computed as r r^T - |r|^2 I — elementwise (VPU) instead of a
+    3x3 matmul, which would run on the TPU MXU at bf16 precision and cost
+    ~5e-3 absolute error near theta=pi."""
+    theta2 = jnp.sum(r * r, axis=-1)
+    outer = r[..., :, None] * r[..., None, :]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), outer.shape)
+    return outer - theta2[..., None, None] * eye
+
+
 def axis_angle_to_matrix(r):
     """Rodrigues formula. [..., 3] -> [..., 3, 3].
 
@@ -66,7 +77,7 @@ def axis_angle_to_matrix(r):
     """
     theta2 = jnp.sum(r * r, axis=-1)
     K = skew(r)
-    KK = K @ K
+    KK = _skew_squared(r)
     a = _sinc(theta2)[..., None, None]
     b = _cosc(theta2)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), K.shape)
@@ -254,7 +265,7 @@ def se3_exp(xi):
     v, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, -1)
     K = skew(w)
-    KK = K @ K
+    KK = _skew_squared(w)
     a = _sinc(theta2)[..., None, None]
     b = _cosc(theta2)[..., None, None]
     # c = (1 - sinc(t)) / t^2, Taylor: 1/6 - t^2/120
@@ -263,7 +274,7 @@ def se3_exp(xi):
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     R = eye + a * K + b * KK
     V = eye + b * K + c * KK
-    t = (V @ v[..., None])[..., 0]
+    t = jnp.einsum('...ij,...j->...i', V, v, precision=jax.lax.Precision.HIGHEST)
     batch = R.shape[:-2]
     M = jnp.zeros(batch + (4, 4), dtype=xi.dtype)
     M = M.at[..., :3, :3].set(R)
@@ -277,7 +288,7 @@ def se3_log(M):
     w = matrix_to_axis_angle(M[..., :3, :3])
     theta2 = jnp.sum(w * w, -1)
     K = skew(w)
-    KK = K @ K
+    KK = _skew_squared(w)
     b = _cosc(theta2)[..., None, None]
     theta2c = jnp.maximum(theta2, _EPS)
     c = jnp.where(theta2 < 1e-8, 1.0 / 6.0 - theta2 / 120.0, (1.0 - _sinc(theta2)) / theta2c)[..., None, None]
@@ -292,7 +303,7 @@ def pose_inverse(M):
     R = M[..., :3, :3]
     t = M[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    ti = -(Rt @ t[..., None])[..., 0]
+    ti = -jnp.einsum('...ij,...j->...i', Rt, t, precision=jax.lax.Precision.HIGHEST)
     out = jnp.zeros_like(M)
     out = out.at[..., :3, :3].set(Rt)
     out = out.at[..., :3, 3].set(ti)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,7 +35,9 @@ def sdf2weights(sdf: jnp.ndarray, z_vals: jnp.ndarray, truncation: float, sc_fac
 
 
 def _sig(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+    # jax.nn.sigmoid, NOT 1/(1+exp(-x)): the naive form's backward produces
+    # inf/inf^2 = NaN for |x| > ~88 (f32 exp overflow).
+    return jax.nn.sigmoid(x)
 
 
 def raw2outputs_sdf(
@@ -58,24 +61,34 @@ def raw2outputs_sdf(
 
 
 def raw2outputs_occupancy(
-    raw: jnp.ndarray, z_vals: jnp.ndarray, occupancy: bool = True, coef: float = 10.0
+    raw: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray = None,
+    occupancy: bool = True,
+    coef: float = 10.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NICE-SLAM-style occupancy compositing from raw [N, S, 4].
 
-    raw[..., 3] is occupancy (if ``occupancy``) or density; raw[..., :3] is
-    rgb already in [0,1]. alpha_i = occ for occupancy mode, else
-    1 - exp(-coef * relu(density) * delta).
+    alpha_i = sigmoid(coef * raw) in occupancy mode (utils.py:230-232), else
+    1 - exp(-relu(density) * delta) with deltas scaled by |rays_d|
+    (utils.py:218-227). raw[..., :3] is rgb already in [0,1].
 
     Returns (depth [N], depth_var [N], rgb [N,3], weights [N,S]).
     """
     if occupancy:
-        alpha = jnp.clip(raw[..., 3], 0.0, 1.0)
+        alpha = _sig(coef * raw[..., 3])
     else:
         dists = z_vals[..., 1:] - z_vals[..., :-1]
         dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], -1)
-        alpha = 1.0 - jnp.exp(-coef * jnp.maximum(raw[..., 3], 0.0) * dists)
-    ones = jnp.ones_like(alpha[..., :1])
-    transmittance = jnp.cumprod(jnp.concatenate([ones, 1.0 - alpha + 1e-10], -1), axis=-1)[..., :-1]
+        if rays_d is not None:
+            dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        alpha = 1.0 - jnp.exp(-jnp.maximum(raw[..., 3], 0.0) * dists)
+    # Transmittance in log space: cumprod's backward divides by the cumulative
+    # product, which NaNs once it underflows to 0 (saturated alpha=1 rays);
+    # exp(cumsum(log)) is mathematically identical and gradient-safe.
+    log_t = jnp.log(1.0 - alpha + 1e-10)
+    zeros = jnp.zeros_like(log_t[..., :1])
+    transmittance = jnp.exp(jnp.concatenate([zeros, jnp.cumsum(log_t, -1)[..., :-1]], -1))
     weights = alpha * transmittance
     rgb_map = jnp.sum(weights[..., None] * raw[..., :3], axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1)

@@ -84,7 +84,11 @@ class SLAMPipeline:
         if frame_id == 1:
             return est[0]
         delta = est[frame_id - 1] @ np.linalg.inv(est[frame_id - 2])
-        return delta @ est[frame_id - 1]
+        pred = delta @ est[frame_id - 1]
+        # re-orthonormalize the rotation (f32 products drift ~1e-3/frame)
+        u, _, vt = np.linalg.svd(pred[:3, :3])
+        pred[:3, :3] = u @ vt
+        return pred
 
     # ------------------------------------------------------------------
     def run(self) -> None:
