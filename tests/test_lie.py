@@ -106,3 +106,22 @@ def test_matrix_to_quaternion_degenerate_cases():
         q = lie.matrix_to_quaternion(R)
         R2 = lie.quaternion_to_matrix(q)
         np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+
+
+def test_numpy_lie_matches_jax():
+    """ops.lie_np must agree with ops.lie on random poses."""
+    from xrdslam_tpu.ops import lie_np
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        r = rng.randn(3) * 1.5
+        t = rng.randn(3)
+        for rep in ("axis_angle", "quat"):
+            rot = r if rep == "axis_angle" else np.asarray(lie.axis_angle_to_quaternion(jnp.asarray(r, jnp.float32)))
+            Mj = np.asarray(lie.pose_vec_to_matrix(jnp.asarray(t, jnp.float32), jnp.asarray(rot, jnp.float32), rot_rep=rep))
+            Mn = lie_np.pose_vec_to_matrix(t, rot, rot_rep=rep)
+            np.testing.assert_allclose(Mn, Mj, atol=1e-5)
+            tj, rj = lie.matrix_to_pose_vec(jnp.asarray(Mj), rot_rep=rep)
+            tn, rn = lie_np.matrix_to_pose_vec(Mj, rot_rep=rep)
+            np.testing.assert_allclose(tn, np.asarray(tj), atol=1e-5)
+            np.testing.assert_allclose(rn, np.asarray(rj), atol=1e-4)

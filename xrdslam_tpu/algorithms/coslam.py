@@ -299,8 +299,9 @@ class CoSLAM(Algorithm):
         t0 = jnp.asarray(cur_frame.t)
         r0 = jnp.asarray(cur_frame.r)
         best_t, best_r, best_loss = self._track_step(self.model_params, rgb, depth, t0, r0, self._next_key())
-        c2w = lie.pose_vec_to_matrix(best_t, best_r, rot_rep="axis_angle")
-        return np.asarray(c2w)
+        from ..ops import lie_np
+
+        return lie_np.pose_vec_to_matrix(np.asarray(best_t), np.asarray(best_r), rot_rep="axis_angle")
 
     def do_mapping(self, cur_frame: Frame) -> None:
         first = not self.is_initialized()
@@ -367,10 +368,14 @@ class CoSLAM(Algorithm):
     def get_mesh(self):
         from ..ops.frustum import points_in_frustum
 
+        from ..ops import lie_np
+
         kf_mask_fn = None
         if self.kf_count > 0:
+            kf_t = np.asarray(self.kf_pose_t)
+            kf_r = np.asarray(self.kf_pose_r)
             kf_c2w = [
-                np.asarray(lie.pose_vec_to_matrix(self.kf_pose_t[i], self.kf_pose_r[i], rot_rep="axis_angle"))
+                lie_np.pose_vec_to_matrix(kf_t[i], kf_r[i], rot_rep="axis_angle")
                 for i in range(self.kf_count)
             ]
             far = self.config.model.cam_far

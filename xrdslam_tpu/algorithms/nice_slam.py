@@ -294,8 +294,10 @@ class NiceSLAM(Algorithm):
         best_pose, _ = self._track_step(
             self.model_params, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth), pose0, self._next_key()
         )
-        c2w = lie.pose_vec_to_matrix(best_pose[:3], best_pose[3:], rot_rep="quat")
-        return np.asarray(c2w)
+        from ..ops import lie_np
+
+        bp = np.asarray(best_pose)
+        return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
 
     def _select_window(self, cur_frame: Frame) -> List[int]:
         """Overlap keyframe selection -> list of kf slots (oldest first)."""
@@ -328,7 +330,9 @@ class NiceSLAM(Algorithm):
         scores = []
         kf_pose_np = np.asarray(self.kf_pose)
         for i in range(self.kf_count - 1):
-            kc2w = np.asarray(lie.pose_vec_to_matrix(kf_pose_np[i, :3], kf_pose_np[i, 3:], rot_rep="quat"), np.float64)
+            from ..ops import lie_np
+
+            kc2w = np.asarray(lie_np.pose_vec_to_matrix(kf_pose_np[i, :3], kf_pose_np[i, 3:], rot_rep="quat"), np.float64)
             w2c = np.linalg.inv(kc2w)
             pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
             pc[:, 0] *= -1
@@ -442,8 +446,10 @@ class NiceSLAM(Algorithm):
         kf_mask_fn = None
         if self.kf_count > 0:
             kf_pose_np = np.asarray(self.kf_pose)
+            from ..ops import lie_np
+
             kf_c2w = [
-                np.asarray(lie.pose_vec_to_matrix(kf_pose_np[i, :3], kf_pose_np[i, 3:], rot_rep="quat"))
+                lie_np.pose_vec_to_matrix(kf_pose_np[i, :3], kf_pose_np[i, 3:], rot_rep="quat")
                 for i in range(self.kf_count)
             ]
 

@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..ops import lie
+from ..ops import lie_np as lie
 
 
 class Frame:
@@ -42,11 +42,9 @@ class Frame:
             self.set_pose(np.asarray(init_pose, np.float32), check=True)
 
     def set_pose(self, c2w: np.ndarray, check: bool = False) -> None:
-        t, r = lie.matrix_to_pose_vec(np.asarray(c2w, np.float32), rot_rep=self.rot_rep)
-        self.t = np.asarray(t)
-        self.r = np.asarray(r)
+        self.t, self.r = lie.matrix_to_pose_vec(np.asarray(c2w, np.float32), rot_rep=self.rot_rep)
         if check:
-            back = np.asarray(lie.pose_vec_to_matrix(self.t, self.r, rot_rep=self.rot_rep))
+            back = lie.pose_vec_to_matrix(self.t, self.r, rot_rep=self.rot_rep)
             # 5e-3 instead of the reference's 1e-3: composed f32 pose
             # predictions drift from orthonormality by ~1e-3 and the vector
             # round-trip re-orthonormalizes, which is fine.
@@ -54,4 +52,4 @@ class Frame:
                 raise ValueError("Transformation inconsistency detected!", c2w, back)
 
     def get_pose(self) -> np.ndarray:
-        return np.asarray(lie.pose_vec_to_matrix(self.t, self.r, rot_rep=self.rot_rep))
+        return lie.pose_vec_to_matrix(self.t, self.r, rot_rep=self.rot_rep)

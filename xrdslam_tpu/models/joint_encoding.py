@@ -38,6 +38,7 @@ class JointEncodingConfig(ModelConfig):
     pos_nbins: int = 16
     hashsize: int = 16
     oneGrid: bool = True
+    fast_encoder: bool = True
     # decoder
     geo_feat_dim: int = 15
     hidden_dim: int = 32
@@ -99,6 +100,18 @@ class JointEncoding(Model):
         self.input_ch = self.spec.out_dim  # 32
         self.input_ch_pos = 3 * c.pos_nbins  # 48
         self._bound = jnp.asarray(self.bounding_box)
+        # optimized encode (feature-major fwd + Pallas matmul-scatter bwd)
+        # only on TPU; CPU tests take the reference path.
+        from ..ops import hashgrid_fast
+
+        self._use_fast = (
+            c.fast_encoder and jax.default_backend() == "tpu" and hashgrid_fast.supports(self.spec)
+        )
+
+    def _encode(self, table, x, spec):
+        from ..ops import hashgrid_fast
+
+        return hashgrid_fast.encode(table, x, spec, use_opt=self._use_fast)
 
     # ------------------------------------------------------------------
     # params
@@ -131,14 +144,14 @@ class JointEncoding(Model):
     def query_raw(self, params, pts: jnp.ndarray) -> jnp.ndarray:
         """[..., 3] world pts -> [..., 4] (rgb logits, sdf)."""
         x = self._normalize(pts)
-        emb = encodings.hashgrid_encode(params["embed_fn"]["table"], x, self.spec)
+        emb = self._encode(params["embed_fn"]["table"], x, self.spec)
         pos = encodings.oneblob_encode(x, self.config.pos_nbins)
         h = mlp.mlp_apply(params["decoder"]["sdf"], jnp.concatenate([emb, pos], -1))
         sdf, geo = h[..., :1], h[..., 1:]
         if self.config.oneGrid:
             color_in = jnp.concatenate([pos, geo], -1)
         else:
-            embc = encodings.hashgrid_encode(params["embed_fn_color"]["table"], x, self.spec_color)
+            embc = self._encode(params["embed_fn_color"]["table"], x, self.spec_color)
             color_in = jnp.concatenate([pos, embc, geo], -1)
         rgb = mlp.mlp_apply(params["decoder"]["color"], color_in)
         return jnp.concatenate([rgb, sdf], -1)
@@ -146,7 +159,7 @@ class JointEncoding(Model):
     def query_sdf(self, params, pts: jnp.ndarray) -> jnp.ndarray:
         """[..., 3] -> [...] sdf (for the mesher)."""
         x = self._normalize(pts)
-        emb = encodings.hashgrid_encode(params["embed_fn"]["table"], x, self.spec)
+        emb = self._encode(params["embed_fn"]["table"], x, self.spec)
         pos = encodings.oneblob_encode(x, self.config.pos_nbins)
         h = mlp.mlp_apply(params["decoder"]["sdf"], jnp.concatenate([emb, pos], -1))
         return h[..., 0]
@@ -157,7 +170,7 @@ class JointEncoding(Model):
     def query_sdf_embed(self, params, pts: jnp.ndarray) -> jnp.ndarray:
         """Hash-grid embedding only (smoothness loss, joint_encoding.py:190)."""
         x = self._normalize(pts)
-        return encodings.hashgrid_encode(params["embed_fn"]["table"], x, self.spec)
+        return self._encode(params["embed_fn"]["table"], x, self.spec)
 
     # ------------------------------------------------------------------
     # rendering
