@@ -172,6 +172,158 @@ def _dtable_pallas(x: jnp.ndarray, g: jnp.ndarray, spec: HashGridSpec) -> jnp.nd
 
 
 # ---------------------------------------------------------------------------
+# Pallas trilerp kernels: weight math fwd/bwd without XLA AD chains
+# ---------------------------------------------------------------------------
+#
+# The gathers stay in XLA (they hit ~2 ns/row, the latency floor), but the
+# trilinear weight computation and its gradient are fused kernels on
+# lane-dense [*, N] layouts: XLA's autodiff of the same math materializes
+# dozens of minor-dim-8 intermediates (measured ~216 ms/iteration of
+# multiply/negate/reduce chains plus ~600 ms of layout copies per mapping
+# call). Gathered features are saved as residuals so the backward never
+# re-gathers, and their gradient path is replaced by the matmul-scatter
+# kernel (no gather transpose = no scatter).
+
+BN = 1024  # points per trilerp grid step (lane-dim block)
+
+
+def _axis_fracs(x_ref, res):
+    xs = jnp.clip(x_ref[0:1, :], 0.0, 1.0) * res
+    ys = jnp.clip(x_ref[1:2, :], 0.0, 1.0) * res
+    zs = jnp.clip(x_ref[2:3, :], 0.0, 1.0) * res
+    fx = xs - jnp.clip(jnp.floor(xs), 0, res - 1.0)
+    fy = ys - jnp.clip(jnp.floor(ys), 0, res - 1.0)
+    fz = zs - jnp.clip(jnp.floor(zs), 0, res - 1.0)
+    return fx, fy, fz
+
+
+def _trilerp_fwd_kernel(x_ref, feats_ref, out_ref, *, spec: HashGridSpec):
+    for level in range(spec.n_levels):
+        res = float(spec.resolutions[level])
+        fx, fy, fz = _axis_fracs(x_ref, res)
+        acc0 = jnp.zeros_like(fx)
+        acc1 = jnp.zeros_like(fx)
+        for c, (cx, cy, cz) in enumerate([(a, b, cc) for a in (0, 1) for b in (0, 1) for cc in (0, 1)]):
+            w = (fx if cx else 1.0 - fx) * (fy if cy else 1.0 - fy) * (fz if cz else 1.0 - fz)
+            acc0 = acc0 + w * feats_ref[level, 0, c : c + 1, :]
+            acc1 = acc1 + w * feats_ref[level, 1, c : c + 1, :]
+        out_ref[2 * level : 2 * level + 1, :] = acc0
+        out_ref[2 * level + 1 : 2 * level + 2, :] = acc1
+
+
+def _trilerp_bwd_kernel(x_ref, feats_ref, g_ref, dx_ref, *, spec: HashGridSpec):
+    dx = jnp.zeros((1, BN), jnp.float32)
+    dy = jnp.zeros((1, BN), jnp.float32)
+    dz = jnp.zeros((1, BN), jnp.float32)
+    for level in range(spec.n_levels):
+        res = float(spec.resolutions[level])
+        fx, fy, fz = _axis_fracs(x_ref, res)
+        g0 = g_ref[2 * level : 2 * level + 1, :]
+        g1 = g_ref[2 * level + 1 : 2 * level + 2, :]
+        for c, (cx, cy, cz) in enumerate([(a, b, cc) for a in (0, 1) for b in (0, 1) for cc in (0, 1)]):
+            wx = fx if cx else 1.0 - fx
+            wy = fy if cy else 1.0 - fy
+            wz = fz if cz else 1.0 - fz
+            sx = 1.0 if cx else -1.0
+            sy = 1.0 if cy else -1.0
+            sz = 1.0 if cz else -1.0
+            gdotf = g0 * feats_ref[level, 0, c : c + 1, :] + g1 * feats_ref[level, 1, c : c + 1, :]
+            dx = dx + gdotf * (sx * wy * wz * res)
+            dy = dy + gdotf * (wx * sy * wz * res)
+            dz = dz + gdotf * (wx * wy * sz * res)
+    dx_ref[0:1, :] = dx
+    dx_ref[1:2, :] = dy
+    dx_ref[2:3, :] = dz
+
+
+def _gather_feats(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """XLA gathers -> feats [L, F, 8, N]."""
+    n = x.shape[0]
+    table_t = table.transpose(0, 2, 1)  # [L, F, T]
+    per_level = []
+    for level in range(spec.n_levels):
+        idx, _ = _level_indices(x, spec.resolutions[level], spec.dense[level], spec.table_size)
+        per_level.append(table_t[level][:, idx.reshape(-1)].reshape(spec.n_features, 8, n))
+    return jnp.stack(per_level)
+
+
+def _pad_lanes(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    pad = (-n) % BN
+    if pad:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    return a
+
+
+def _encode_kernelized(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec):
+    """Forward with kernels; returns (out [N, L*F], residual feats)."""
+    n = x.shape[0]
+    xc = jnp.clip(x, 0.0, 1.0)
+    feats = _gather_feats(table, xc, spec)  # [L, F, 8, N]
+    xT = _pad_lanes(xc.T, n)  # [3, Np]
+    featsP = _pad_lanes(feats, n)
+    np_ = xT.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_trilerp_fwd_kernel, spec=spec),
+        grid=(np_ // BN,),
+        in_specs=[
+            pl.BlockSpec((3, BN), lambda i: (0, i)),
+            pl.BlockSpec((spec.n_levels, spec.n_features, 8, BN), lambda i: (0, 0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((spec.out_dim, BN), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((spec.out_dim, np_), jnp.float32),
+    )(xT, featsP)
+    return out[:, :n].T, feats
+
+
+def _dx_kernelized(x: jnp.ndarray, feats: jnp.ndarray, g: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    n = x.shape[0]
+    xT = _pad_lanes(jnp.clip(x, 0.0, 1.0).T, n)
+    featsP = _pad_lanes(feats, n)
+    gT = _pad_lanes(g.T.astype(jnp.float32), n)
+    np_ = xT.shape[-1]
+    dxT = pl.pallas_call(
+        functools.partial(_trilerp_bwd_kernel, spec=spec),
+        grid=(np_ // BN,),
+        in_specs=[
+            pl.BlockSpec((3, BN), lambda i: (0, i)),
+            pl.BlockSpec((spec.n_levels, spec.n_features, 8, BN), lambda i: (0, 0, 0, i)),
+            pl.BlockSpec((spec.out_dim, BN), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((3, BN), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((3, np_), jnp.float32),
+    )(xT, featsP, gT)
+    return dxT[:, :n].T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode_kern(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Fully kernelized encode: XLA gathers + Pallas trilerp fwd/bwd +
+    Pallas matmul-scatter table gradient."""
+    batch_shape = x.shape[:-1]
+    out, _ = _encode_kernelized(table, x.reshape(-1, 3), spec)
+    return out.reshape(*batch_shape, spec.out_dim)
+
+
+def _kern_fwd(table, x, spec):
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    out, feats = _encode_kernelized(table, xf, spec)
+    return out.reshape(*batch_shape, spec.out_dim), (xf, feats)
+
+
+def _kern_bwd(spec, res, g):
+    xf, feats = res
+    batch_shape = xf.shape[:-1] if g.ndim == 2 else g.shape[:-1]
+    gf = g.reshape(-1, spec.out_dim)
+    dx = _dx_kernelized(xf, feats, gf, spec)
+    dtable = _dtable_pallas(xf, gf, spec)
+    return dtable, dx.reshape(*g.shape[:-1], 3).astype(xf.dtype)
+
+
+hashgrid_encode_kern.defvjp(_kern_fwd, _kern_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public entry: custom_vjp combining the two
 # ---------------------------------------------------------------------------
 
@@ -208,7 +360,7 @@ def supports(spec: HashGridSpec) -> bool:
 
 
 def encode(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec, use_opt: bool = True) -> jnp.ndarray:
-    """Dispatch: optimized path when supported, else reference path."""
+    """Dispatch: fully kernelized path when supported, else reference path."""
     if use_opt and supports(spec):
-        return hashgrid_encode_opt(table, x, spec)
+        return hashgrid_encode_kern(table, x, spec)
     return hashgrid_encode(table, x, spec)
