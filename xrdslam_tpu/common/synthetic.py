@@ -89,11 +89,14 @@ def _sphere_trace_jit(o, d, n_steps, far):
     return jnp.where(hit, t, 0.0)
 
 
-def orbit_poses(n_frames: int, radius: float = 0.6, height_amp: float = 0.2, deg_per_frame: float = 1.5) -> np.ndarray:
+def orbit_poses(n_frames: int, radius: float = 0.6, height_amp: float = 0.2, deg_per_frame: float = 0.35) -> np.ndarray:
     """Smooth orbit inside the room, camera looking outward. [N, 4, 4] c2w.
 
-    Angular velocity is fixed per frame (default 1.5°) so inter-frame motion
-    matches real RGB-D sequences regardless of sequence length.
+    Angular velocity is fixed per frame (0.35°/frame ~ 0.4 cm/frame
+    translation at r=0.6) to match Replica-sequence motion statistics —
+    per-frame motion must sit inside the tracker's per-frame correction
+    budget (10 Adam iters x lr 1e-3), exactly as in the reference's
+    benchmark setting.
     """
     poses = np.zeros((n_frames, 4, 4), np.float32)
     for i in range(n_frames):

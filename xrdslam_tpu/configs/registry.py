@@ -103,6 +103,40 @@ algorithm_configs["nice-slam"] = RunnerConfig(
 )
 
 # --------------------------------------------------------------------------
+# vox-fusion (reference: input_config.py:160-200)
+# --------------------------------------------------------------------------
+from ..algorithms.voxfusion import VoxFusionConfig  # noqa: E402
+from ..models.sparse_voxel import SparseVoxelConfig  # noqa: E402
+
+algorithm_configs["vox-fusion"] = RunnerConfig(
+    algorithm_name="vox-fusion",
+    xrdslam=SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=50, use_relative_pose=True, save_debug_result=False, init_pose_offset=10),
+        mapper=MapperConfig(keyframe_every=50),
+        algorithm=VoxFusionConfig(
+            keyframe_selection_method="random",
+            rot_rep="axis_angle",
+            tracking_n_iters=30,
+            mapping_n_iters=15,
+            mapping_first_n_iters=30,
+            mapping_window_size=5,
+            mapping_sample=1024,
+            tracking_sample=1024,
+            ray_batch_size=3072,
+            max_keyframes=64,
+            model=SparseVoxelConfig(),
+            optimizers={
+                "decoder": {"optimizer": AdamOptimizerConfig(lr=5e-3), "scheduler": None},
+                "embeddings": {"optimizer": AdamOptimizerConfig(lr=5e-3), "scheduler": None},
+                "tracking_pose": {"optimizer": AdamOptimizerConfig(lr=1e-2), "scheduler": None},
+                "mapping_pose": {"optimizer": AdamOptimizerConfig(lr=1e-3), "scheduler": None},
+            },
+        ),
+        enable_vis=False,
+    ),
+)
+
+# --------------------------------------------------------------------------
 # co-slam (reference: input_config.py:203-295)
 # --------------------------------------------------------------------------
 algorithm_configs["co-slam"] = RunnerConfig(

@@ -105,7 +105,7 @@ class JointEncoding(Model):
         from ..ops import hashgrid_fast
 
         self._use_fast = (
-            c.fast_encoder and jax.default_backend() == "tpu" and hashgrid_fast.supports(self.spec)
+            c.fast_encoder and hashgrid_fast.on_tpu() and hashgrid_fast.supports(self.spec)
         )
 
     def _encode(self, table, x, spec):

@@ -359,6 +359,15 @@ def supports(spec: HashGridSpec) -> bool:
     return spec.table_size % 128 == 0 and spec.table_size >= 128
 
 
+def on_tpu() -> bool:
+    """True if computations will actually run on a TPU device (the axon
+    plugin registers a TPU backend even when jax_default_device pins CPU)."""
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
 def encode(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec, use_opt: bool = True) -> jnp.ndarray:
     """Dispatch: fully kernelized path when supported, else reference path."""
     if use_opt and supports(spec):

@@ -58,14 +58,19 @@ def sdf_losses(
     predicted_sdf: jnp.ndarray,
     truncation: float,
     ray_mask: Optional[jnp.ndarray] = None,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(fs_loss, sdf_loss) — l2, matching get_sdf_loss (utils.py:154-186).
 
     The reference divides by the full element count N*S (its masks multiply
     both prediction and target inside an unmasked mse); with padding we
-    divide by (#valid rays * S) instead.
+    divide by (#valid rays * S) instead. ``sample_mask`` [N,S] additionally
+    drops per-sample padding (Vox-Fusion samples outside any voxel).
     """
     front_mask, sdf_mask, fs_weight, sdf_weight = sdf_masks(z_vals, target_d, truncation, ray_mask)
+    if sample_mask is not None:
+        front_mask = front_mask * sample_mask
+        sdf_mask = sdf_mask * sample_mask
     n, s = z_vals.shape
     if ray_mask is None:
         denom = jnp.asarray(n * s, z_vals.dtype)

@@ -1,0 +1,109 @@
+"""Generic embedding-table lookup with Pallas matmul-scatter gradient.
+
+``table_lookup(table [R, C], idx [N]) -> [N, C]`` is the JAX equivalent of
+``F.embedding`` used all over the reference (voxel vertex embeddings,
+neural point features — voxel_helpers_voxfusion.py:118-120,
+decoder_pointslam feature gathers). The forward is a plain XLA gather
+(~2 ns/row); the backward would be XLA's scatter-add, which costs ~50 ms
+per million rows on TPU v5e and minutes to compile. Instead the gradient is
+computed by a Pallas kernel as one-hot matmuls on the MXU:
+
+    entry e lives at plane row e // per_row, lane group e % per_row
+    dplane = A^T @ M  per point-block, where A [B, R/per_row] is the
+    row-one-hot (bf16) and M [B, 128] places each point's C-vector gradient
+    into its lane group.
+
+C must divide 128 (pad otherwise); rows are padded to multiples of
+(128 // C) * 8.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 512
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_rows_padded: int, C: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    per_row = 128 // C
+    s_rows = n_rows_padded // per_row
+    e = idx_ref[:, 0]  # [B]
+    rows = e // per_row
+    group = e % per_row
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, s_rows), 1)
+    row_onehot = (row_iota == rows[:, None]).astype(jnp.bfloat16)  # [B, S]
+    # tile g [B, C] across the 8 lane groups, then mask to the right group
+    g_tiled = pltpu.repeat(g_ref[...], per_row, axis=1)  # [B, 128]
+    lane_mask = ((lane_iota // C) == group[:, None]).astype(jnp.float32)
+    m = (g_tiled * lane_mask).astype(jnp.bfloat16)
+    out_ref[...] += jax.lax.dot_general(
+        row_onehot, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def scatter_add_matmul(idx: jnp.ndarray, g: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """Equivalent of zeros([num_rows, C]).at[idx].add(g) without scatter ops.
+
+    idx [N] int32, g [N, C] with C a power-of-two divisor of 128.
+    """
+    n, C = g.shape
+    assert 128 % C == 0, f"C={C} must divide 128"
+    per_row = 128 // C
+    pad = (-n) % BLK
+    if pad:
+        # padded entries target row 0 with zero grads (harmless)
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)], 0)
+        g = jnp.concatenate([g, jnp.zeros((pad, C), g.dtype)], 0)
+    n_rows_padded = _ceil_to(num_rows, per_row * 8)
+    s_rows = n_rows_padded // per_row
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, n_rows_padded=n_rows_padded, C=C),
+        grid=(idx.shape[0] // BLK,),
+        in_specs=[
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0)),
+            pl.BlockSpec((BLK, C), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((s_rows, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((s_rows, 128), jnp.float32),
+    )(idx.astype(jnp.int32)[:, None], g.astype(jnp.float32))
+    return out.reshape(-1, C)[:num_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def table_lookup(table: jnp.ndarray, idx: jnp.ndarray, use_opt: bool = True) -> jnp.ndarray:
+    """table [R, C], idx [...] -> [..., C]; scatter-free gradient on TPU."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _tl_fwd(table, idx, use_opt):
+    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+
+
+def _tl_bwd(use_opt, res, g):
+    idx, num_rows = res
+    gf = g.reshape(-1, g.shape[-1])
+    idxf = idx.reshape(-1)
+    if use_opt and 128 % g.shape[-1] == 0:
+        dtable = scatter_add_matmul(idxf, gf, num_rows)
+    else:
+        dtable = jnp.zeros((num_rows, g.shape[-1]), gf.dtype).at[idxf].add(gf)
+    return dtable, None
+
+
+table_lookup.defvjp(_tl_fwd, _tl_bwd)
