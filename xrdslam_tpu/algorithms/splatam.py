@@ -1,0 +1,276 @@
+"""SplaTAM: 3D Gaussian splatting SLAM on the Pallas tile rasterizer.
+
+TPU-native rebuild of the reference algorithm (reference:
+slam/algorithms/splatam.py:21-126). Structural mapping:
+
+  * Tracking optimizes the current camera pose (quat+t of c2w; the
+    rasterizer sees w2c) against full-image sil-masked L1 losses — one
+    jitted scan of tracking_n_iters full renders.
+  * Mapping picks a RANDOM window frame per iteration (splatam.py:50-66)
+    and optimizes all gaussian parameter groups with per-group Adam lrs;
+    window selection is the overlap method over keyframes.
+  * Gaussian growth from the silhouette/depth-error mask and pruning run
+    at call boundaries (the reference mutates the optimizer state inside
+    the loop; its Adam state is per-call anyway, base_algorithm.py:248).
+  * Tile binning is rebuilt on host per (frame, call) with an 8 px margin
+    so the per-iteration pose/mean updates stay inside the binned lists.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.camera import Camera
+from ..common.frame import Frame
+from ..engine.optimizers import GroupOptimizers
+from ..models.gaussian_splatting import GaussianSplattingConfig
+from ..ops import lie
+from ..ops.gaussian_raster import bin_gaussians
+from .base import Algorithm, AlgorithmConfig
+
+
+@dataclass
+class SplaTAMConfig(AlgorithmConfig):
+    """reference: slam/algorithms/splatam.py:13-18 + input_config.py:377-433."""
+
+    _target: Type = field(default_factory=lambda: SplaTAM)
+    model: GaussianSplattingConfig = field(default_factory=GaussianSplattingConfig)
+    mapping_sil_thres: float = 0.5
+    render_mode: str = "color"
+    max_keyframes: int = 512
+    seed: int = 0
+
+
+GAUSS_GROUPS = ("means3D", "rgb_colors", "unnorm_rotations", "logit_opacities", "log_scales")
+
+
+class SplaTAM(Algorithm):
+    config: SplaTAMConfig
+
+    def __init__(self, config: SplaTAMConfig, camera: Camera) -> None:
+        super().__init__(config, camera)
+        self.model = config.model.setup(camera=camera, bounding_box=None)
+        self.bundle_adjust = False
+        self._key = jax.random.PRNGKey(config.seed)
+        self.params = self.model.init_params(self._next_key())
+        self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
+        # keyframes: poses + images (kept on host; windows are small)
+        self.kf_frames: List[Frame] = []
+        self.cur_mesh = None
+        self._build_jits()
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+    def _build_jits(self) -> None:
+        cfg = self.config
+        model = self.model
+
+        def track_step(params, alive, rgb, depth, t0, q0, tiles, mask, key, *, ntx, nty):
+            opt = GroupOptimizers(
+                {"tracking_pose_r": self._opt_cfgs["tracking_pose_r"], "tracking_pose_t": self._opt_cfgs["tracking_pose_t"]}
+            )
+            pose = {"tracking_pose_r": q0, "tracking_pose_t": t0}
+            opt_state = opt.init(pose)
+            binning = (tiles, mask)
+
+            def body(carry, _):
+                pose, opt_state, best = carry
+
+                def loss_fn(p):
+                    c2w = lie.pose_vec_to_matrix(p["tracking_pose_t"], p["tracking_pose_r"], rot_rep="quat")
+                    w2c = lie.pose_inverse(c2w)
+                    out = model.render(params, alive, w2c, binning, ntx, nty)
+                    return model.get_loss(out, rgb, depth, is_mapping=False)
+
+                loss, g = jax.value_and_grad(loss_fn)(pose)
+                best_loss, bt, bq = best
+                better = loss < best_loss
+                best = (
+                    jnp.where(better, loss, best_loss),
+                    jnp.where(better, pose["tracking_pose_t"], bt),
+                    jnp.where(better, pose["tracking_pose_r"], bq),
+                )
+                pose, opt_state = opt.update(g, opt_state, pose)
+                return (pose, opt_state, best), loss
+
+            init = (pose, opt_state, (jnp.asarray(1e10, jnp.float32), t0, q0))
+            (_, _, best), _ = jax.lax.scan(body, init, None, length=cfg.tracking_n_iters)
+            return best[1], best[2], best[0]
+
+        self._track_step_raw = track_step
+        self._track_variants: Dict[Tuple, Any] = {}
+
+        def map_step(params, alive, images, w2cs, tiles, mask, key, *, n_frames, n_iters, ntx, nty):
+            opt = GroupOptimizers({g: self._opt_cfgs[g] for g in GAUSS_GROUPS})
+            opt_state = opt.init({g: params[g] for g in GAUSS_GROUPS})
+            gparams = {g: params[g] for g in GAUSS_GROUPS}
+
+            def body(carry, k):
+                gp, opt_state = carry
+                fi = jax.random.randint(k, (), 0, n_frames)
+                img = images[fi]
+                w2c = w2cs[fi]
+                tile = tiles[fi]
+                msk = mask[fi]
+
+                def loss_fn(p):
+                    out = model.render(p, alive, w2c, (tile, msk), ntx, nty)
+                    return model.get_loss(out, img[..., :3], img[..., 3], is_mapping=True)
+
+                loss, g = jax.value_and_grad(loss_fn)(gp)
+                gp, opt_state = opt.update(g, opt_state, gp)
+                return (gp, opt_state), loss
+
+            keys = jax.random.split(key, n_iters)
+            (gparams, _), losses = jax.lax.scan(body, (gparams, opt_state), keys)
+            return gparams, losses
+
+        self._map_step_raw = map_step
+        self._map_variants: Dict[Tuple, Any] = {}
+
+        def render_full(params, alive, w2c, tiles, mask, ntx, nty):
+            return model.render(params, alive, w2c, (tiles, mask), ntx, nty)
+
+        self._render = jax.jit(render_full, static_argnums=(5, 6))
+
+    # ------------------------------------------------------------------
+    def _binning(self, w2c: np.ndarray, k_per_tile: Optional[int] = None):
+        """Host tile binning from the current params (fetch projections)."""
+        u, v, depth, sigma = self.model.project(self.params, jnp.asarray(w2c, jnp.float32))
+        alive = np.asarray(self.model.alive_mask(self.params)) > 0
+        b = bin_gaussians(
+            np.asarray(u), np.asarray(v), np.asarray(depth), 3.0 * np.asarray(sigma),
+            alive, self.camera.height, self.camera.width,
+            k_per_tile=k_per_tile or self.config.model.k_per_tile,
+        )
+        return b
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        if not self.is_initialized():
+            return None
+        from ..ops import lie_np
+
+        c2w = cur_frame.get_pose()
+        w2c = np.linalg.inv(c2w)
+        b = self._binning(w2c)
+        t0 = jnp.asarray(cur_frame.t)
+        q0 = jnp.asarray(cur_frame.r)
+        sig = (b.n_tiles_x, b.n_tiles_y)
+        if sig not in self._track_variants:
+            self._track_variants[sig] = jax.jit(functools.partial(self._track_step_raw, ntx=sig[0], nty=sig[1]))
+        alive = self.model.alive_mask(self.params)
+        bt, bq, _ = self._track_variants[sig](
+            self.params, alive, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth),
+            t0, q0, jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), self._next_key(),
+        )
+        return lie_np.pose_vec_to_matrix(np.asarray(bt), np.asarray(bq), rot_rep="quat")
+
+    def do_mapping(self, cur_frame: Frame) -> None:
+        cfg = self.config
+        first = not self.is_initialized()
+        # --- gaussian growth (pre_precessing -> model_update) ------------
+        c2w = cur_frame.get_pose()
+        w2c = np.linalg.inv(c2w)
+        if first:
+            mask = cur_frame.depth > 0
+            self.model.scene_radius = float(cur_frame.depth.max() / 3.0)
+        else:
+            b = self._binning(w2c)
+            alive = self.model.alive_mask(self.params)
+            out = self._render(self.params, alive, jnp.asarray(w2c, jnp.float32),
+                               jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), b.n_tiles_x, b.n_tiles_y)
+            sil = np.asarray(out["sil"])
+            rdepth = np.asarray(out["depth"])
+            derr = np.abs(cur_frame.depth - rdepth) * (cur_frame.depth > 0)
+            med = np.median(derr[derr > 0]) if (derr > 0).any() else 0.0
+            non_presence = sil < cfg.mapping_sil_thres
+            non_presence |= (rdepth > cur_frame.depth) & (derr > 50 * med)
+            mask = non_presence & (cur_frame.depth > 0)
+        pts, cols, scales = self.model.pointcloud_from_depth(cur_frame.rgb, cur_frame.depth, c2w, mask)
+        self.params = self.model.add_gaussians(self.params, pts, cols, scales)
+
+        # --- window (overlap selection over keyframes + cur) -------------
+        frames = self._select_window(cur_frame)
+        images = jnp.stack(
+            [jnp.concatenate([jnp.asarray(f.rgb), jnp.asarray(f.depth)[..., None]], -1) for f in frames]
+        )
+        w2cs = jnp.stack([jnp.asarray(np.linalg.inv(f.get_pose()), jnp.float32) for f in frames])
+        tiles, masks = [], []
+        ntx = nty = None
+        for f in frames:
+            b = self._binning(np.linalg.inv(f.get_pose()))
+            tiles.append(b.tile_ids)
+            masks.append(b.tile_mask)
+            ntx, nty = b.n_tiles_x, b.n_tiles_y
+        n_iters = cfg.mapping_first_n_iters if first else cfg.mapping_n_iters
+        sig = (len(frames), n_iters, ntx, nty)
+        if sig not in self._map_variants:
+            self._map_variants[sig] = jax.jit(
+                functools.partial(self._map_step_raw, n_frames=len(frames), n_iters=n_iters, ntx=ntx, nty=nty)
+            )
+        alive = self.model.alive_mask(self.params)
+        gparams, _ = self._map_variants[sig](
+            self.params, alive, images, w2cs, jnp.asarray(np.stack(tiles)), jnp.asarray(np.stack(masks)), self._next_key()
+        )
+        self.params.update(gparams)
+        if first:
+            self.set_initialized()
+
+    def _select_window(self, cur_frame: Frame) -> List[Frame]:
+        w = self.config.mapping_window_size
+        if len(self.kf_frames) <= w - 2:
+            frames = list(self.kf_frames)
+        else:
+            # overlap ranking via depth point projection (common.py:342-426)
+            rng = np.random.default_rng(int(self._next_key()[0]))
+            cam = self.camera
+            d = cur_frame.depth
+            vs, us = np.nonzero(d > 0)
+            pick = rng.integers(0, len(vs), 1600)
+            u, v, z = us[pick], vs[pick], d[vs[pick], us[pick]]
+            dirs = np.stack([(u - cam.cx) / cam.fx, -(v - cam.cy) / cam.fy, -np.ones_like(u, np.float64)], -1)
+            c2w = cur_frame.get_pose()
+            pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T) * z[:, None]
+            scores = []
+            for f in self.kf_frames[:-1]:
+                w2c = np.linalg.inv(f.get_pose())
+                pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+                zc = -pc[:, 2]
+                uu = cam.cx + cam.fx * pc[:, 0] / np.maximum(zc, 1e-6)
+                vv = cam.cy - cam.fy * pc[:, 1] / np.maximum(zc, 1e-6)
+                ok = (zc > 0) & (uu >= 20) & (uu < cam.width - 20) & (vv >= 20) & (vv < cam.height - 20)
+                scores.append(ok.mean())
+            top = np.argsort(scores)[::-1][: w - 2]
+            frames = [self.kf_frames[i] for i in sorted(top)] + [self.kf_frames[-1]]
+        return frames + [cur_frame]
+
+    def add_keyframe(self, keyframe: Frame) -> None:
+        self.kf_frames.append(keyframe)
+        self.keyframe_fids.append(keyframe.fid)
+
+    def render_img(self, c2w: np.ndarray, gt_depth: Optional[np.ndarray] = None, idx: Optional[int] = None):
+        w2c = np.linalg.inv(np.asarray(c2w, np.float64)).astype(np.float32)
+        b = self._binning(w2c)
+        alive = self.model.alive_mask(self.params)
+        out = self._render(self.params, alive, jnp.asarray(w2c),
+                           jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), b.n_tiles_x, b.n_tiles_y)
+        rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
+        depth = np.asarray(out["depth"])
+        if gt_depth is not None:
+            valid = gt_depth > 0
+            rgb = rgb * valid[..., None]
+            depth = depth * valid
+        return rgb, depth
+
+    def get_cloud(self, c2w_np: np.ndarray, gt_depth_np: Optional[np.ndarray]):
+        """Gaussian centers + colors (reference render_mode 'centers')."""
+        n = self.model.n_gauss
+        return np.asarray(self.params["means3D"][:n]), np.asarray(self.params["rgb_colors"][:n])

@@ -103,6 +103,40 @@ algorithm_configs["nice-slam"] = RunnerConfig(
 )
 
 # --------------------------------------------------------------------------
+# splaTAM (reference: input_config.py:377-433)
+# --------------------------------------------------------------------------
+from ..algorithms.splatam import SplaTAMConfig  # noqa: E402
+from ..models.gaussian_splatting import GaussianSplattingConfig  # noqa: E402
+
+algorithm_configs["splaTAM"] = RunnerConfig(
+    algorithm_name="splaTAM",
+    xrdslam=SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=50, use_relative_pose=True, save_debug_result=False),
+        mapper=MapperConfig(keyframe_every=5),
+        algorithm=SplaTAMConfig(
+            separate_LR=True,
+            rot_rep="quat",
+            keyframe_use_ray_sample=False,
+            tracking_n_iters=40,
+            mapping_n_iters=60,
+            mapping_first_n_iters=60,
+            mapping_window_size=24,
+            model=GaussianSplattingConfig(),
+            optimizers={
+                "means3D": {"optimizer": AdamOptimizerConfig(lr=0.0001, eps=1e-15), "scheduler": None},
+                "rgb_colors": {"optimizer": AdamOptimizerConfig(lr=0.0025, eps=1e-15), "scheduler": None},
+                "unnorm_rotations": {"optimizer": AdamOptimizerConfig(lr=0.001, eps=1e-15), "scheduler": None},
+                "logit_opacities": {"optimizer": AdamOptimizerConfig(lr=0.05, eps=1e-15), "scheduler": None},
+                "log_scales": {"optimizer": AdamOptimizerConfig(lr=0.001, eps=1e-15), "scheduler": None},
+                "tracking_pose_r": {"optimizer": AdamOptimizerConfig(lr=0.0004), "scheduler": None},
+                "tracking_pose_t": {"optimizer": AdamOptimizerConfig(lr=0.002), "scheduler": None},
+            },
+        ),
+        enable_vis=False,
+    ),
+)
+
+# --------------------------------------------------------------------------
 # vox-fusion (reference: input_config.py:160-200)
 # --------------------------------------------------------------------------
 from ..algorithms.voxfusion import VoxFusionConfig  # noqa: E402

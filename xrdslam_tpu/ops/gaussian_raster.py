@@ -1,0 +1,286 @@
+"""Tile-based isotropic Gaussian rasterizer (Pallas TPU, custom VJP).
+
+Replaces the reference's ``diff-gaussian-rasterization-w-depth`` CUDA
+extension (reference: requirements.txt:3, used via
+slam/model_components/gaussian_cloud_splatam.py:47-78). SplaTAM uses
+*isotropic* gaussians (scalar ``log_scales``,
+gaussian_cloud_splatam.py:330-334), so the screen-space footprint is a
+circle — no 2D covariance — and one pass renders all 8 channels the
+reference needs two rasterizer calls for: rgb(3), depth, silhouette
+(alpha accumulation), depth^2, plus the final transmittance.
+
+Pipeline:
+  * Projection (XLA, differentiable): camera-frame means -> pixel centers
+    (u, v), depth, screen sigma. OpenGL convention (-z forward).
+  * Tile binning (host NumPy, rebuilt per optimization call): gaussians are
+    depth-sorted globally, then assigned to 16x16-pixel tiles they overlap
+    (3 sigma radius + margin, so the lists stay valid while poses/means
+    move slightly within a jitted optimization scan). Fixed K gaussians per
+    tile, nearest-first.
+  * Forward kernel: one grid step per tile; alpha compositing over the
+    tile's K gaussians in depth order, transmittance via
+    exp(cumsum(log1p(-alpha))) (gradient-safe at saturation).
+  * Backward kernel: recomputes alpha/T, forms the suffix-sum term
+    S_i = sum_{j>i} g.c_j a_j T_j via reverse cumsum, and reduces
+    per-gaussian gradients (d opacity, d u, d v, d sigma, d channels) over
+    the tile's pixels; global accumulation uses ops.pallas_scatter
+    (no scatter op on the device).
+
+The VJP boundary sits at the *projected* gaussian level, so pose and means
+gradients flow through the XLA projection automatically — exactly what
+SplaTAM's tracking (camera_grad) and mapping (gaussians_grad) need
+(slam_helpers_splatam.py:263-292).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_scatter import scatter_add_matmul
+
+TILE = 16  # pixels per tile side
+ALPHA_MAX = 0.99
+N_CH = 8  # rgb(3), depth, sil, depth_sq, spare, spare
+
+
+class TileBinning(NamedTuple):
+    """Static-shape per-tile gaussian lists (host-built)."""
+
+    tile_ids: np.ndarray  # [n_tiles, K] gaussian indices (depth-sorted)
+    tile_mask: np.ndarray  # [n_tiles, K] validity
+    n_tiles_x: int
+    n_tiles_y: int
+
+
+def bin_gaussians(
+    u: np.ndarray, v: np.ndarray, depth: np.ndarray, radius: np.ndarray, alive: np.ndarray,
+    height: int, width: int, k_per_tile: int = 256, margin: float = 8.0, max_span: int = 6,
+) -> TileBinning:
+    """Assign depth-sorted gaussians to the 16x16 tiles they overlap.
+
+    Fully vectorized (1-core host): expand (gaussian, tile) pairs with a
+    capped per-gaussian tile span (SplaTAM gaussians are ~1 px by
+    construction — scale = depth/f projects to ~1 px), lexsort by
+    (tile, depth rank) and fill fixed-K lists.
+    """
+    ntx = (width + TILE - 1) // TILE
+    nty = (height + TILE - 1) // TILE
+    n_tiles = ntx * nty
+    valid = alive & (depth > 0.01) & np.isfinite(u) & np.isfinite(v) & (radius > 0)
+    order = np.argsort(np.where(valid, depth, np.inf), kind="stable")
+    order = order[valid[order]]
+    ids_out = np.zeros((n_tiles, k_per_tile), np.int32)
+    mask_out = np.zeros((n_tiles, k_per_tile), bool)
+    if order.size == 0:
+        return TileBinning(ids_out, mask_out, ntx, nty)
+    uu, vv, rr = u[order], v[order], radius[order] + margin
+    inside = (uu + rr >= 0) & (uu - rr < width) & (vv + rr >= 0) & (vv - rr < height)
+    order, uu, vv, rr = order[inside], uu[inside], vv[inside], rr[inside]
+    x0 = np.clip(((uu - rr) // TILE).astype(np.int64), 0, ntx - 1)
+    x1 = np.clip(((uu + rr) // TILE).astype(np.int64), 0, ntx - 1)
+    y0 = np.clip(((vv - rr) // TILE).astype(np.int64), 0, nty - 1)
+    y1 = np.clip(((vv + rr) // TILE).astype(np.int64), 0, nty - 1)
+    x1 = np.minimum(x1, x0 + max_span - 1)
+    y1 = np.minimum(y1, y0 + max_span - 1)
+    dx = np.arange(max_span)
+    tx = x0[:, None, None] + dx[None, None, :]
+    ty = y0[:, None, None] + dx[None, :, None]
+    ok = (tx <= x1[:, None, None]) & (ty <= y1[:, None, None])
+    tiles = (ty * ntx + tx).reshape(len(order), -1)
+    ranks = np.broadcast_to(np.arange(len(order))[:, None], tiles.shape)
+    gids = np.broadcast_to(order[:, None], tiles.shape)
+    okf = ok.reshape(len(order), -1)
+    tiles, ranks, gids = tiles[okf], ranks[okf], gids[okf]
+    sort = np.lexsort((ranks, tiles))
+    tiles, gids = tiles[sort], gids[sort]
+    # position within each tile
+    starts = np.searchsorted(tiles, np.arange(n_tiles), side="left")
+    pos = np.arange(len(tiles)) - starts[tiles]
+    keep = pos < k_per_tile
+    ids_out[tiles[keep], pos[keep]] = gids[keep]
+    mask_out[tiles[keep], pos[keep]] = True
+    return TileBinning(ids_out, mask_out, ntx, nty)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _pixel_grid(tile_idx, ntx):
+    ty = tile_idx // ntx
+    tx = tile_idx % ntx
+    px = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1) + (tx * TILE).astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0) + (ty * TILE).astype(jnp.float32)
+    return px.reshape(-1), py.reshape(-1)  # [P]
+
+
+def _alphas(gu, gv, gsig, gop, gmask, px, py):
+    """alpha [P, K] for tile pixels x gaussians."""
+    du = px[:, None] - gu[None, :]
+    dv = py[:, None] - gv[None, :]
+    inv2s2 = 0.5 / jnp.maximum(gsig * gsig, 1e-12)
+    gauss = jnp.exp(-(du * du + dv * dv) * inv2s2[None, :])
+    alpha = jnp.clip(gop[None, :] * gauss, 0.0, ALPHA_MAX)
+    return jnp.where(gmask[None, :], alpha, 0.0)
+
+
+def _transmittance(alpha):
+    log1m = jnp.log1p(-alpha)
+    csum = jnp.cumsum(log1m, axis=1)
+    T = jnp.exp(jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum[:, :-1]], 1))
+    return T
+
+
+def _fwd_kernel(ntx_ref, g_ref, out_ref):
+    """g_ref [1, K, 16]: per-tile gathered gaussian data
+    (u, v, sigma, opacity, mask, ch0..7, pad...). out [1, P, N_CH]."""
+    tile_idx = pl.program_id(0)
+    px, py = _pixel_grid(tile_idx, ntx_ref[0])
+    g = g_ref[0]
+    gu, gv, gsig, gop, gmask = g[:, 0], g[:, 1], g[:, 2], g[:, 3], g[:, 4] > 0.5
+    alpha = _alphas(gu, gv, gsig, gop, gmask, px, py)  # [P, K]
+    T = _transmittance(alpha)
+    w = alpha * T  # [P, K]
+    ch = g[:, 5 : 5 + N_CH]  # [K, N_CH]
+    out_ref[0] = jax.lax.dot_general(w, ch, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(ntx_ref, g_ref, gout_ref, dg_ref):
+    """Gradients wrt per-tile gaussian data. dg [1, K, 16]."""
+    tile_idx = pl.program_id(0)
+    px, py = _pixel_grid(tile_idx, ntx_ref[0])
+    g = g_ref[0]
+    gu, gv, gsig, gop, gmask = g[:, 0], g[:, 1], g[:, 2], g[:, 3], g[:, 4] > 0.5
+    ch = g[:, 5 : 5 + N_CH]  # [K, C]
+    du = px[:, None] - gu[None, :]
+    dv = py[:, None] - gv[None, :]
+    sig2 = jnp.maximum(gsig * gsig, 1e-12)
+    inv2s2 = 0.5 / sig2
+    r2 = du * du + dv * dv
+    gauss = jnp.exp(-r2 * inv2s2[None, :])
+    raw_alpha = gop[None, :] * gauss
+    clamped = raw_alpha > ALPHA_MAX
+    alpha = jnp.where(gmask[None, :], jnp.clip(raw_alpha, 0.0, ALPHA_MAX), 0.0)
+    T = _transmittance(alpha)
+    w = alpha * T
+    gpx = gout_ref[0]  # [P, C] upstream gradient
+    # channel grad: dch[k, c] = sum_p w[p,k] * gpx[p,c]
+    dch = jax.lax.dot_general(w, gpx, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # gdotc[p, k] = sum_c gpx[p,c] * ch[k,c]
+    gdotc = jax.lax.dot_general(gpx, ch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # suffix S[p,k] = sum_{j>k} gdotc[p,j] * w[p,j]
+    contrib = gdotc * w
+    suffix = jnp.cumsum(contrib[:, ::-1], axis=1)[:, ::-1] - contrib
+    dalpha = T * gdotc - suffix / jnp.maximum(1.0 - alpha, 1e-6)
+    dalpha = jnp.where(clamped | ~gmask[None, :], 0.0, dalpha)
+    # chain: alpha = op * G, G = exp(-r^2/(2 sig^2));
+    # dG/dgu = G * du/sig^2, dG/dgv = G * dv/sig^2, dG/dsig = G * r^2/sig^3
+    dgauss = dalpha * gop[None, :]
+    dG_common = dgauss * gauss
+    dg = jnp.zeros_like(g)
+    dg = dg.at[:, 0].set(jnp.sum(dG_common * du, axis=0) / sig2)
+    dg = dg.at[:, 1].set(jnp.sum(dG_common * dv, axis=0) / sig2)
+    dg = dg.at[:, 2].set(jnp.sum(dG_common * r2, axis=0) / (sig2 * jnp.maximum(gsig, 1e-6)))
+    dg = dg.at[:, 3].set(jnp.sum(dalpha * gauss, axis=0))
+    dg = dg.at[:, 5 : 5 + N_CH].set(dch)
+    dg_ref[0] = dg
+
+
+# ---------------------------------------------------------------------------
+# host-facing entry
+# ---------------------------------------------------------------------------
+
+def _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask):
+    """Gather per-tile gaussian attributes -> [n_tiles, K, 16]."""
+    data = jnp.concatenate(
+        [
+            u[:, None], v[:, None], sigma[:, None], opacity[:, None],
+            jnp.ones_like(u[:, None]),  # placeholder for mask
+            channels,
+            jnp.zeros((u.shape[0], 16 - 5 - channels.shape[1]), u.dtype),
+        ],
+        -1,
+    )
+    tiled = jnp.take(data, tile_ids, axis=0)  # [T, K, 16]
+    tiled = tiled.at[:, :, 4].set(tile_mask.astype(u.dtype))
+    return tiled
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def rasterize(u, v, sigma, opacity, channels, tile_ids, tile_mask, ntx, nty):
+    """Rasterize projected gaussians to [H_pad, W_pad, N_CH].
+
+    Args:
+        u, v: [G] pixel centers. sigma: [G] screen-space std (px).
+        opacity: [G]. channels: [G, N_CH] per-gaussian channel values.
+        tile_ids [T,K] int32 / tile_mask [T,K] bool: host-built binning
+            (held fixed across an optimization call; int/bool cotangents
+            are float0).
+    """
+    return _raster_fwd_impl(u, v, sigma, opacity, channels, (tile_ids, tile_mask), ntx, nty)
+
+
+def _raster_fwd_impl(u, v, sigma, opacity, channels, tile_ids_mask, ntx, nty):
+    tile_ids, tile_mask = tile_ids_mask
+    tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
+    n_tiles, K, _ = tiled.shape
+    ntx_arr = jnp.asarray([ntx], jnp.int32)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE * TILE, N_CH), jnp.float32),
+    )(ntx_arr, tiled)
+    # [T, P, C] -> [H_pad, W_pad, C]
+    out = out.reshape(nty, ntx, TILE, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, N_CH)
+    return out
+
+
+def _raster_fwd(u, v, sigma, opacity, channels, tile_ids, tile_mask, ntx, nty):
+    out = _raster_fwd_impl(u, v, sigma, opacity, channels, (tile_ids, tile_mask), ntx, nty)
+    return out, (u, v, sigma, opacity, channels, tile_ids, tile_mask)
+
+
+def _raster_bwd(ntx, nty, res, gout):
+    u, v, sigma, opacity, channels, tile_ids, tile_mask = res
+    tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
+    n_tiles, K, _ = tiled.shape
+    gt = gout.reshape(nty, TILE, ntx, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE * TILE, N_CH)
+    ntx_arr = jnp.asarray([ntx], jnp.int32)
+    dg = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, 16), jnp.float32),
+    )(ntx_arr, tiled, gt)
+    # accumulate per-gaussian over tiles: scatter-free matmul kernel
+    flat_idx = tile_ids.reshape(-1)
+    flat_dg = (dg * tile_mask[..., None]).reshape(-1, 16)
+    acc = scatter_add_matmul(flat_idx, flat_dg, u.shape[0])  # [G, 16]
+    du = acc[:, 0]
+    dv = acc[:, 1]
+    dsig = acc[:, 2]
+    dop = acc[:, 3]
+    dch = acc[:, 5 : 5 + N_CH]
+    ft0 = jax.dtypes.float0
+    d_ids = np.zeros(tile_ids.shape, ft0)
+    d_mask = np.zeros(tile_mask.shape, ft0)
+    return du, dv, dsig, dop, dch, d_ids, d_mask
+
+
+rasterize.defvjp(_raster_fwd, _raster_bwd)
