@@ -12,9 +12,38 @@ few % of the volume), so a 256^3 grid extracts in seconds.
 """
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_NATIVE_SO = os.path.join(_NATIVE_DIR, "build", "libxrdslam_native.so")
+_native_lib = None
+
+
+def _load_native():
+    """Build (once) and load the C++ marching-tets library; None on failure."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib if _native_lib is not False else None
+    try:
+        if not os.path.exists(_NATIVE_SO):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        lib = ctypes.CDLL(_NATIVE_SO)
+        lib.marching_tets.restype = ctypes.c_int64
+        lib.marching_tets.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        _native_lib = lib
+        return lib
+    except Exception:
+        _native_lib = False
+        return None
 
 # Cube corners in (x, y, z) bit order.
 _CUBE_CORNERS = np.array(
@@ -65,6 +94,50 @@ def marching_tetrahedra(
     Returns:
         (vertices [V, 3] float32 world coords, faces [F, 3] int64).
     """
+    lib = _load_native()
+    if lib is not None:
+        return _marching_tets_native(lib, volume, level, origin, spacing, mask)
+    return _marching_tets_numpy(volume, level, origin, spacing, mask)
+
+
+def _marching_tets_native(lib, volume, level, origin, spacing, mask):
+    vol = np.ascontiguousarray(volume, np.float32)
+    nx, ny, nz = vol.shape
+    # surface cells are a few % of the volume; 6 tris/cell worst case
+    max_tris = max(int(nx * ny * nz * 0.25), 1 << 16)
+    out = np.empty((max_tris, 9), np.float32)
+    org = np.asarray(origin, np.float64)
+    spc = np.asarray(spacing, np.float64)
+    m = None
+    if mask is not None:
+        m = np.ascontiguousarray(mask.astype(np.uint8))
+    n = lib.marching_tets(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz,
+        ctypes.c_float(level),
+        org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        spc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m.ctypes.data if m is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_tris,
+    )
+    if n == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    tris = out[:n].reshape(-1, 3, 3)
+    return _dedup_triangles(tris)
+
+
+def _dedup_triangles(tris: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    verts_flat = tris.reshape(-1, 3).astype(np.float64)
+    keys = np.round(verts_flat * 1e5).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    first_idx = np.full(uniq.shape[0], np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first_idx, inv, np.arange(inv.shape[0]))
+    verts = verts_flat[first_idx]
+    faces = inv.reshape(-1, 3)
+    good = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
+    return verts.astype(np.float32), faces[good].astype(np.int64)
+
+
+def _marching_tets_numpy(volume, level, origin, spacing, mask):
     nx, ny, nz = volume.shape
     v = volume - level
 
