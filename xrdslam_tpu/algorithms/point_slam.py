@@ -1,0 +1,315 @@
+"""Point-SLAM: neural point cloud SLAM with density-driven growth.
+
+TPU-native rebuild of the reference algorithm (reference:
+slam/algorithms/point_slam.py:20-435). Structural mapping:
+
+  * Point addition each mapping step (point_slam.py:94-155): sample pixels
+    from the current frame, host-query neighbor counts in the spatial hash,
+    and append 3 points along each under-covered ray at
+    depth -/0/+ radius_add. Features need no growth step — the fixed
+    feature tables are pre-initialized and rows activate as points appear.
+  * Mapping runs two jitted scan phases (geometry -> color) following the
+    PointSLAMScheduler two-phase lrs (schedulers.py:98-112), window frames
+    sampled fresh each iteration like NICE-SLAM.
+  * Tracking: uncertainty-weighted clamped depth L1 + color over
+    dynamic-outlier-masked pixels (conv_onet_pointslam.py:157-178).
+  * Mesh: TSDF fusion of rendered keyframe RGB-D (reference
+    get_mesh_from_RGBD via Open3D, common.py:622-663) -> ops.tsdf_fusion.
+
+Round-1 simplifications: fixed query radius (use_dynamic_radius=False
+path), no color-gradient pixel sampling, mapping_BA off (reference default
+mapping_BA=False, input_config.py:322).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.camera import Camera
+from ..common.frame import Frame
+from ..engine.optimizers import GroupOptimizers
+from ..engine.schedulers import PointSLAMSchedulerConfig
+from ..models.conv_onet_pointslam import ConvOnet2Config
+from ..ops import lie
+from ..ops.point_table import PointMap
+from ..ops.sampling import camera_ray_dirs, sample_pixels
+from .base import Algorithm, AlgorithmConfig
+
+
+@dataclass
+class PointSLAMConfig(AlgorithmConfig):
+    """reference: slam/algorithms/point_slam.py:20-59."""
+
+    _target: Type = field(default_factory=lambda: PointSLAM)
+    model: ConvOnet2Config = field(default_factory=ConvOnet2Config)
+    mapping_sample: int = 5000
+    min_sample_pixels: int = 40
+    tracking_sample: int = 1500
+    ray_batch_size: int = 3000
+    tracking_Wedge: int = 100
+    tracking_Hedge: int = 100
+    mapping_BA: bool = False
+    mapping_geo_iter_ratio: float = 0.4
+    pixels_adding: int = 6000
+    max_keyframes: int = 64
+    mesh_resolution: int = 256
+    seed: int = 0
+
+
+class PointSLAM(Algorithm):
+    config: PointSLAMConfig
+
+    def __init__(self, config: PointSLAMConfig, camera: Camera) -> None:
+        super().__init__(config, camera)
+        self.model = config.model.setup(camera=camera, bounding_box=None)
+        self._key = jax.random.PRNGKey(config.seed)
+        self.model_params = self.model.init_params(self._next_key())
+        self.point_map = PointMap(
+            max_points=config.model.max_points, cell_size=2.0 * config.model.pointcloud_radius_query
+        )
+        self.maps = self.point_map.device_state()
+        self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
+        self._scheds = {name: g.get("scheduler") for name, g in config.optimizers.items()}
+        H, W = camera.height, camera.width
+        self.kf_images = jnp.zeros((config.max_keyframes, H, W, 4), jnp.float32)
+        self.kf_pose = jnp.zeros((config.max_keyframes, 7), jnp.float32)  # t + quat
+        self.kf_count = 0
+        self._dirs = camera_ray_dirs(camera)
+        self._dirs_np = np.asarray(self._dirs)
+        self.cur_mesh = None
+        self._map_variants: Dict[Tuple, Any] = {}
+        self._build_jits()
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _phase_lr(self, group: str, stage: str) -> float:
+        sched = self._scheds.get(group)
+        if isinstance(sched, PointSLAMSchedulerConfig):
+            return sched.lr_for_stage("geometry" if stage == "geometry" else "color")
+        return self._opt_cfgs[group].lr
+
+    # ------------------------------------------------------------------
+    def _build_jits(self) -> None:
+        cfg = self.config
+        model = self.model
+        H, W = self.camera.height, self.camera.width
+
+        def track_step(params, maps, rgb, depth, pose0, key):
+            opt = GroupOptimizers({"tracking_pose": self._opt_cfgs["tracking_pose"]})
+            pv = {"tracking_pose": pose0}
+            opt_state = opt.init(pv)
+
+            def body(carry, k):
+                pv, opt_state, best = carry
+                k1, k2 = jax.random.split(k)
+                u, v = sample_pixels(k1, cfg.tracking_sample, H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
+                ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
+                td = depth[vi, ui][:, None]
+                ts = rgb[vi, ui]
+                d_cam = self._dirs[vi, ui]
+
+                def loss_fn(p):
+                    pose = p["tracking_pose"]
+                    R = lie.quaternion_to_matrix(pose[3:])
+                    rays_d = d_cam @ R.T
+                    rays_o = jnp.broadcast_to(pose[:3], rays_d.shape)
+                    loss, _ = model.get_loss(params, maps, k2, rays_o, rays_d, ts, td, False, "color")
+                    return loss
+
+                loss, g = jax.value_and_grad(loss_fn)(pv)
+                best_loss, bp = best
+                better = loss < best_loss
+                best = (jnp.where(better, loss, best_loss), jnp.where(better, pv["tracking_pose"], bp))
+                pv, opt_state = opt.update(g, opt_state, pv)
+                return (pv, opt_state, best), loss
+
+            keys = jax.random.split(key, cfg.tracking_n_iters)
+            (_, _, best), _ = jax.lax.scan(body, (pv, opt_state, (jnp.asarray(1e10, jnp.float32), pose0)), keys)
+            return best[1], best[0]
+
+        self._track_step = jax.jit(track_step)
+
+        def map_step(params, maps, images, poses, key, *, n_frames, n_iters):
+            pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
+            geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
+            phases = [("geometry", geo_iters), ("color", n_iters - geo_iters)]
+            groups_all = [g for g in ("decoder", "geometry", "color") if g in params and (g != "decoder" or params["decoder"])]
+            all_params = {g: params[g] for g in groups_all}
+            opt_state = None
+            for stage, steps in phases:
+                if steps <= 0:
+                    continue
+                cfgs = {}
+                for g in groups_all:
+                    c = self._opt_cfgs[g].copy()
+                    c.lr = self._phase_lr(g, stage)
+                    cfgs[g] = c
+                opt = GroupOptimizers(cfgs)
+                if opt_state is None:
+                    opt_state = opt.init(all_params)
+
+                def body(carry, k, stage=stage, opt=opt):
+                    ap, opt_state = carry
+                    k1, k2 = jax.random.split(k)
+
+                    def loss_fn(p):
+                        mp = {**params, **p}
+                        keys = jax.random.split(k1, n_frames)
+                        ros, rds, tss, tds = [], [], [], []
+                        for f in range(n_frames):
+                            u, v = sample_pixels(keys[f], pixs, H, W)
+                            ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
+                            rgbd = images[f, vi, ui]
+                            R = lie.quaternion_to_matrix(poses[f, 3:])
+                            rds.append(self._dirs[vi, ui] @ R.T)
+                            ros.append(jnp.broadcast_to(poses[f, :3], (pixs, 3)))
+                            tss.append(rgbd[:, :3])
+                            tds.append(rgbd[:, 3:4])
+                        loss, _ = model.get_loss(
+                            mp, maps, k2, jnp.concatenate(ros), jnp.concatenate(rds),
+                            jnp.concatenate(tss), jnp.concatenate(tds), True, stage,
+                        )
+                        return loss
+
+                    loss, g = jax.value_and_grad(loss_fn)(ap)
+                    ap, opt_state = opt.update(g, opt_state, ap)
+                    return (ap, opt_state), loss
+
+                keys = jax.random.split(jax.random.fold_in(key, hash(stage) % 997), steps)
+                (all_params, opt_state), _ = jax.lax.scan(body, (all_params, opt_state), keys)
+            return {**params, **all_params}
+
+        self._map_step_raw = map_step
+
+        def render_chunk(params, maps, rays_o, rays_d, td, key):
+            return model.render_rays(params, maps, key, rays_o, rays_d, td, "color")
+
+        self._render_chunk = jax.jit(render_chunk)
+
+    # ------------------------------------------------------------------
+    def add_points_from_frame(self, frame: Frame, n_pixels: int) -> None:
+        """Density-driven point addition (point_slam.py:94-155)."""
+        cfg = self.config.model
+        rng = np.random.default_rng(int(self._next_key()[0]))
+        d = frame.depth
+        vs, us = np.nonzero(d > 0)
+        if len(vs) == 0:
+            return
+        pick = rng.integers(0, len(vs), min(n_pixels, len(vs)))
+        u, v = us[pick], vs[pick]
+        z = d[v, u]
+        c2w = frame.get_pose()
+        dirs_w = self._dirs_np[v, u] @ c2w[:3, :3].T
+        surf = c2w[:3, 3] + dirs_w * z[:, None]
+        counts = self.point_map.neighbor_counts(surf, cfg.pointcloud_radius_add)
+        need = counts < cfg.pointcloud_min_nn_num
+        if not need.any():
+            return
+        spread = cfg.pointcloud_radius_add
+        zs = z[need][:, None] + np.array([-spread, 0.0, spread])[None, :]
+        pts = (c2w[:3, 3][None, None] + dirs_w[need][:, None, :] * zs[..., None]).reshape(-1, 3)
+        if self.point_map.add_points(pts):
+            self.maps = self.point_map.device_state()
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        if not self.is_initialized():
+            return None
+        pose0 = jnp.concatenate([jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r)])
+        best, _ = self._track_step(
+            self.model_params, self.maps, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth), pose0, self._next_key()
+        )
+        from ..ops import lie_np
+
+        bp = np.asarray(best)
+        return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
+
+    def do_mapping(self, cur_frame: Frame) -> None:
+        cfg = self.config
+        first = not self.is_initialized()
+        self.add_points_from_frame(cur_frame, cfg.pixels_adding)
+        n_iters = cfg.mapping_first_n_iters if first else cfg.mapping_n_iters
+        k = cfg.mapping_window_size - 1
+        if self.kf_count <= k:
+            slots = list(range(self.kf_count))
+        else:
+            rng = np.random.default_rng(int(self._next_key()[0]))
+            slots = sorted(int(s) for s in rng.permutation(self.kf_count - 1)[: k - 1]) + [self.kf_count - 1]
+        cur_pose = np.concatenate([cur_frame.t, cur_frame.r]).astype(np.float32)
+        cur_img = jnp.concatenate([jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth)[..., None]], -1)[None]
+        if slots:
+            idx = jnp.asarray(slots, jnp.int32)
+            images = jnp.concatenate([self.kf_images[idx], cur_img], 0)
+            poses = jnp.concatenate([self.kf_pose[idx], jnp.asarray(cur_pose)[None]], 0)
+        else:
+            images, poses = cur_img, jnp.asarray(cur_pose)[None]
+        sig = (len(slots) + 1, n_iters)
+        if sig not in self._map_variants:
+            self._map_variants[sig] = jax.jit(
+                functools.partial(self._map_step_raw, n_frames=sig[0], n_iters=sig[1])
+            )
+        self.model_params = self._map_variants[sig](self.model_params, self.maps, images, poses, self._next_key())
+        if first:
+            self.set_initialized()
+
+    def add_keyframe(self, keyframe: Frame) -> None:
+        if self.kf_count >= self.config.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded")
+        slot = self.kf_count
+        rgbd = jnp.concatenate([jnp.asarray(keyframe.rgb), jnp.asarray(keyframe.depth)[..., None]], -1)
+        self.kf_images = self.kf_images.at[slot].set(rgbd)
+        self.kf_pose = self.kf_pose.at[slot].set(jnp.concatenate([jnp.asarray(keyframe.t), jnp.asarray(keyframe.r)]))
+        self.kf_count += 1
+        self.keyframe_fids.append(keyframe.fid)
+
+    def render_img(self, c2w: np.ndarray, gt_depth: Optional[np.ndarray] = None, idx: Optional[int] = None):
+        cam = self.camera
+        c2w = jnp.asarray(c2w, jnp.float32)
+        rays_d = self._dirs.reshape(-1, 3) @ c2w[:3, :3].T
+        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+        gt = jnp.zeros((rays_d.shape[0], 1)) if gt_depth is None else jnp.asarray(gt_depth).reshape(-1, 1)
+        bs = self.config.ray_batch_size
+        dep, col = [], []
+        for i in range(0, rays_d.shape[0], bs):
+            ro, rd, td = rays_o[i : i + bs], rays_d[i : i + bs], gt[i : i + bs]
+            pad = bs - ro.shape[0]
+            if pad > 0:
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+                td = jnp.pad(td, ((0, pad), (0, 0)))
+            out = self._render_chunk(self.model_params, self.maps, ro, rd, td, self._next_key())
+            take = bs - pad if pad > 0 else bs
+            dep.append(np.asarray(out["depth"][:take]))
+            col.append(np.asarray(out["rgb"][:take]))
+        return (
+            np.clip(np.concatenate(col).reshape(cam.height, cam.width, 3), 0, 1),
+            np.concatenate(dep).reshape(cam.height, cam.width),
+        )
+
+    def get_mesh(self):
+        """TSDF-fuse rendered keyframe RGB-D (reference: point_slam.py:426-435
+        get_mesh_from_RGBD)."""
+        from ..ops.tsdf_fusion import TSDFVolume
+
+        if self.kf_count == 0:
+            return None
+        pts = self.point_map.pos[: self.point_map.n_points]
+        lo, hi = pts.min(0) - 0.2, pts.max(0) + 0.2
+        vol = TSDFVolume(np.stack([lo, hi], -1), voxel_size=float((hi - lo).max()) / self.config.mesh_resolution)
+        from ..ops import lie_np
+
+        kf_pose_np = np.asarray(self.kf_pose)
+        for i in range(self.kf_count):
+            c2w = lie_np.pose_vec_to_matrix(kf_pose_np[i, :3], kf_pose_np[i, 3:], rot_rep="quat")
+            rgbd = np.asarray(self.kf_images[i])
+            color, depth = self.render_img(c2w, gt_depth=rgbd[..., 3])
+            depth = np.where(rgbd[..., 3] > 0, depth, 0.0)
+            vol.integrate(color, depth, c2w, self.camera)
+        self.cur_mesh = vol.extract_mesh()
+        return self.cur_mesh

@@ -210,3 +210,42 @@ algorithm_configs["co-slam"] = RunnerConfig(
         enable_vis=False,
     ),
 )
+
+# --------------------------------------------------------------------------
+# point-slam (reference: input_config.py:298-375)
+# --------------------------------------------------------------------------
+from ..algorithms.point_slam import PointSLAMConfig  # noqa: E402
+from ..engine.schedulers import PointSLAMSchedulerConfig  # noqa: E402
+from ..models.conv_onet_pointslam import ConvOnet2Config  # noqa: E402
+
+algorithm_configs["point-slam"] = RunnerConfig(
+    algorithm_name="point-slam",
+    xrdslam=SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=5, lazy_start=20, render_freq=50, use_relative_pose=False, save_debug_result=False),
+        mapper=MapperConfig(keyframe_every=20),
+        algorithm=PointSLAMConfig(
+            separate_LR=False,
+            rot_rep="quat",
+            tracking_n_iters=40,
+            mapping_n_iters=300,
+            mapping_first_n_iters=1500,
+            mapping_window_size=12,
+            tracking_sample=1500,
+            mapping_sample=5000,
+            min_sample_pixels=40,
+            ray_batch_size=3072,
+            tracking_Wedge=100,
+            tracking_Hedge=100,
+            mapping_BA=False,
+            model=ConvOnet2Config(pretrained_decoders_middle_fine=Path("pretrained/point_slam/middle_fine.pt")),
+            optimizers={
+                "decoder": {"optimizer": AdamOptimizerConfig(), "scheduler": PointSLAMSchedulerConfig(start_lr=0.001, end_lr=0.005)},
+                "geometry": {"optimizer": AdamOptimizerConfig(), "scheduler": PointSLAMSchedulerConfig(start_lr=0.03, end_lr=0.005)},
+                "color": {"optimizer": AdamOptimizerConfig(), "scheduler": PointSLAMSchedulerConfig(start_lr=0.0, end_lr=0.005)},
+                "tracking_pose": {"optimizer": AdamOptimizerConfig(lr=2e-3), "scheduler": None},
+                "mapping_pose": {"optimizer": AdamOptimizerConfig(lr=1e-3), "scheduler": None},
+            },
+        ),
+        enable_vis=False,
+    ),
+)

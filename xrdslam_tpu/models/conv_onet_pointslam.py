@@ -1,0 +1,200 @@
+"""ConvOnet2 (Point-SLAM) scene model: neural point cloud renderer.
+
+TPU-native rebuild of the reference model (reference:
+slam/models/conv_onet_pointslam.py:17-461 + decoder_pointslam.py +
+neural_point_cloud.py). Structural mapping:
+
+  * FAISS IVFFlat kNN -> ops.point_table spatial-hash top-k on device.
+  * Per-point geometry/color feature rows are fixed-capacity tables whose
+    gradients flow through ops.pallas_scatter.table_lookup (scatter-free).
+  * Rendering keeps the reference scheme: 5 surface samples per ray in
+    [0.98 d, 1.02 d], occupancy alpha = sigmoid(0.1 * occ) with
+    weight-sum-normalized compositing (utils.py:248-295
+    raw2outputs_nerf_color2), points without >= min_nn_num neighbors get
+    occ = -100 and rays whose samples all lack neighbors are masked.
+
+Round-1 simplifications (documented for parity work): no exposure MLP, no
+per-neighbor relative-position color encoding (decoder_pointslam.py:444-456)
+— the color net sees the fourier position + interpolated color feature;
+pretrained middle_fine.pt decoders load via utils.torch_convert when
+available, otherwise the decoders train from scratch.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas_scatter import table_lookup
+from ..ops.point_table import knn_query
+from .base import Model, ModelConfig
+from .conv_onet import mlp_decoder_apply, mlp_decoder_init
+
+
+@dataclass
+class ConvOnet2Config(ModelConfig):
+    """reference: slam/models/conv_onet_pointslam.py:17-71."""
+
+    _target: Type = field(default_factory=lambda: ConvOnet2)
+    c_dim: int = 32
+    max_points: int = 262144
+    pointcloud_nn_num: int = 8
+    pointcloud_min_nn_num: int = 2
+    pointcloud_radius_add: float = 0.04
+    pointcloud_radius_query: float = 0.08
+    rendering_n_surface: int = 5
+    rendering_near_end_surface: float = 0.98
+    rendering_far_end_surface: float = 1.02
+    rendering_sigmoid_coef_mapper: float = 0.1
+    points_batch_size: int = 500000
+    tracking_w_color_loss: float = 0.5
+    tracking_handle_dynamic: bool = True
+    tracking_use_color_in_tracking: bool = True
+    mapping_w_color_loss: float = 0.1
+    mapping_fix_geo_decoder: bool = True
+    mapping_fix_color_decoder: bool = False
+    pretrained_decoders_middle_fine: Any = None
+    fast_scatter: bool = True
+
+
+class ConvOnet2(Model):
+    config: ConvOnet2Config
+
+    def __init__(self, config: ConvOnet2Config, camera, bounding_box=None, **kwargs) -> None:
+        super().__init__(config, camera, np.zeros((3, 2), np.float32) if bounding_box is None else bounding_box, **kwargs)
+        from ..ops.hashgrid_fast import on_tpu
+
+        self._use_opt = config.fast_scatter and on_tpu()
+        self.pretrained_available = False
+        self._load_decoders()
+
+    def _load_decoders(self) -> None:
+        c = self.config
+        k = jax.random.PRNGKey(11)
+        k1, k2 = jax.random.split(k)
+        self._init_geo = mlp_decoder_init(k1, c_dim=c.c_dim, hidden=32)
+        self._init_col = mlp_decoder_init(k2, c_dim=c.c_dim, hidden=32, color=True)
+        mf = c.pretrained_decoders_middle_fine
+        if mf is not None:
+            try:
+                import os
+
+                if os.path.exists(str(mf)):
+                    from ..utils.torch_convert import load_nice_decoders
+
+                    loaded = load_nice_decoders(str(mf))
+                    self._init_geo = loaded["middle"]
+                    self.pretrained_available = True
+            except Exception as e:
+                print(f"[conv_onet2] pretrained geo decoder load failed ({e}); training from scratch")
+
+    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+        c = self.config
+        k1, k2 = jax.random.split(key)
+        params: Dict[str, Any] = {
+            "geometry": {"feats": jax.random.normal(k1, (c.max_points, c.c_dim)) * 0.01},
+            "color": {"feats": jax.random.normal(k2, (c.max_points, c.c_dim)) * 0.01},
+            "decoder": {},
+        }
+        if not c.mapping_fix_geo_decoder or not self.pretrained_available:
+            params["decoder"]["geo"] = self._init_geo
+        if not c.mapping_fix_color_decoder:
+            params["decoder"]["col"] = self._init_col
+        self.frozen = {}
+        if "geo" not in params["decoder"]:
+            self.frozen["geo"] = self._init_geo
+        if "col" not in params["decoder"]:
+            self.frozen["col"] = self._init_col
+        return params
+
+    def _dec(self, params, name):
+        return params["decoder"].get(name, self.frozen.get(name))
+
+    # ------------------------------------------------------------------
+    def interp_features(self, feats_table, maps, pts, is_tracker: bool):
+        """kNN inverse-squared-distance interpolation
+        (decoder_pointslam.py:163-210). Returns (feat [N,C], has_nn [N])."""
+        c = self.config
+        D2, I, n_valid = knn_query(maps, jax.lax.stop_gradient(pts), 2.0 * c.pointcloud_radius_query, k=c.pointcloud_nn_num)
+        if is_tracker:
+            # re-derive distances so pose gradients flow (decoder:181-186)
+            cpos = jnp.take(maps["pos"], I, axis=0)
+            D2 = jnp.sum(jnp.square(cpos - pts[:, None, :]), -1)
+        w = 1.0 / (D2 + 1e-10)
+        w = jnp.where(D2 > c.pointcloud_radius_query**2, 0.0, w)
+        w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-10)
+        nf = table_lookup(feats_table, I, self._use_opt)  # [N, k, C]
+        feat = jnp.sum(nf * w[..., None], axis=1)
+        has_nn = n_valid >= c.pointcloud_min_nn_num
+        return feat, has_nn
+
+    def query_raw(self, params, maps, pts: jnp.ndarray, stage: str, is_tracker: bool):
+        """[N,3] -> (raw [N,4] (rgb, occ), point_mask [N])."""
+        c = self.config
+        geo_feat, has_nn = self.interp_features(params["geometry"]["feats"], maps, pts, is_tracker)
+        occ = mlp_decoder_apply(self._dec(params, "geo"), pts, geo_feat)[:, 0]
+        occ = jnp.where(has_nn, occ, -100.0)
+        if stage == "color":
+            col_feat, _ = self.interp_features(params["color"]["feats"], maps, pts, is_tracker)
+            rgb = mlp_decoder_apply(self._dec(params, "col"), pts, col_feat)[:, :3]
+        else:
+            rgb = jnp.zeros((pts.shape[0], 3), pts.dtype)
+        return jnp.concatenate([rgb, occ[:, None]], -1), has_nn
+
+    # ------------------------------------------------------------------
+    def render_rays(self, params, maps, key, rays_o, rays_d, target_d, stage: str = "color", is_tracker: bool = False):
+        """reference: conv_onet_pointslam.py:311-461 (surface-only samples)."""
+        c = self.config
+        n = rays_o.shape[0]
+        ns = c.rendering_n_surface
+        gt = target_d.reshape(-1, 1)
+        t = jnp.linspace(0.0, 1.0, ns)
+        z_pos = c.rendering_near_end_surface * gt * (1 - t)[None] + c.rendering_far_end_surface * gt * t[None]
+        far = jnp.minimum(5.0 * jnp.mean(gt), jnp.max(gt * 1.2))
+        z_zero = jnp.broadcast_to(jnp.linspace(0.1, 1.0, ns)[None] * far, (n, ns))
+        z_vals = jnp.where(gt > 0, z_pos, z_zero)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        raw, point_mask = self.query_raw(params, maps, pts.reshape(-1, 3), stage, is_tracker)
+        raw = raw.reshape(n, ns, 4)
+        point_mask = point_mask.reshape(n, ns)
+        # raw2outputs_nerf_color2 (utils.py:248-295): weight-sum normalized
+        alpha = jax.nn.sigmoid(c.rendering_sigmoid_coef_mapper * raw[..., 3])
+        log_t = jnp.log(1.0 - alpha + 1e-10)
+        T = jnp.exp(jnp.concatenate([jnp.zeros((n, 1)), jnp.cumsum(log_t, -1)[:, :-1]], -1))
+        weights = alpha * T
+        wsum = jnp.sum(weights, -1, keepdims=True) + 1e-10
+        rgb_map = jnp.sum(weights[..., None] * raw[..., :3], -2) / wsum
+        depth = jnp.sum(weights * z_vals, -1) / wsum[:, 0]
+        unc = jnp.sum(weights * jnp.square(z_vals - depth[:, None]), -1) / wsum[:, 0]
+        valid_ray = point_mask.any(-1)
+        depth = jnp.where(gt[:, 0] > 0, depth, 0.0)
+        return {"rgb": rgb_map, "depth": depth, "uncertainty": unc, "valid_ray_mask": valid_ray}
+
+    # ------------------------------------------------------------------
+    def get_loss(self, params, maps, key, rays_o, rays_d, target_s, target_d, is_mapping: bool, stage: str, ray_mask=None):
+        """reference: conv_onet_pointslam.py:144-195 (L1 sums)."""
+        c = self.config
+        out = self.render_rays(params, maps, key, rays_o, rays_d, target_d, stage, is_tracker=not is_mapping)
+        td = target_d[:, 0]
+        rm = ray_mask if ray_mask is not None else jnp.ones_like(td)
+        depth = out["depth"]
+        if not is_mapping:
+            unc = jax.lax.stop_gradient(out["uncertainty"])
+            tmp = jnp.abs(td - depth) / jnp.sqrt(unc + 1e-10)
+            from .conv_onet import _masked_median
+
+            med = _masked_median(tmp, rm * (td > 0))
+            mask = ((tmp < 10 * med) & (td > 0)).astype(depth.dtype) * rm
+            geo = jnp.sum(jnp.clip(jnp.abs(td - depth) / jnp.sqrt(unc + 1e-10), 0.0, 1e3) * mask)
+            loss = geo
+            if c.tracking_use_color_in_tracking:
+                loss = loss + c.tracking_w_color_loss * jnp.sum(jnp.abs(target_s - out["rgb"]) * mask[:, None])
+            return loss, out
+        mask = ((td > 0) & out["valid_ray_mask"]).astype(depth.dtype) * rm
+        loss = jnp.sum(jnp.abs(td - depth) * mask)
+        if stage == "color":
+            loss = loss + c.mapping_w_color_loss * jnp.sum(jnp.abs(target_s - out["rgb"]) * mask[:, None])
+        return loss, out
