@@ -1,0 +1,113 @@
+"""Short end-to-end pipeline smokes for Vox-Fusion / SplaTAM / Point-SLAM.
+
+(Co-SLAM has its own deeper e2e in test_e2e_coslam.py; these verify each
+algorithm's full pipeline — tracking, mapping, growth, artifacts — runs and
+stays sane on a tiny synthetic sequence.)
+"""
+import tempfile
+
+import jax.experimental.pallas as pl
+import numpy as np
+import pytest
+
+from xrdslam_tpu.common.synthetic import SyntheticDataset
+from xrdslam_tpu.engine.optimizers import AdamOptimizerConfig as A
+from xrdslam_tpu.pipeline.slam import MapperConfig, SLAMPipelineConfig, TrackerConfig
+from xrdslam_tpu.utils.eval_ate import evaluate_ate
+
+
+@pytest.fixture()
+def interp_kernels(monkeypatch):
+    import xrdslam_tpu.ops.gaussian_raster as gr
+    import xrdslam_tpu.ops.pallas_scatter as ps
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(gr.pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(ps.pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+
+def _run(cfg, n_frames=5, hw=(48, 64)):
+    ds = SyntheticDataset(n_frames=n_frames, height=hw[0], width=hw[1])
+    pipe = cfg.setup(dataset=ds, out_dir=tempfile.mkdtemp(), verbose=False)
+    pipe.run()
+    res = evaluate_ate(pipe.algorithm.gt_c2w_list, pipe.algorithm.estimate_c2w_list)
+    return pipe, ds, res
+
+
+def test_voxfusion_pipeline():
+    from xrdslam_tpu.algorithms.voxfusion import VoxFusionConfig
+    from xrdslam_tpu.models.sparse_voxel import SparseVoxelConfig
+
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=-1, use_relative_pose=True, init_pose_offset=10, save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=2),
+        algorithm=VoxFusionConfig(
+            rot_rep="axis_angle", tracking_n_iters=8, mapping_n_iters=8, mapping_first_n_iters=20,
+            mapping_window_size=3, mapping_sample=192, tracking_sample=192, ray_batch_size=512, max_keyframes=8,
+            model=SparseVoxelConfig(max_voxels=4096, num_embeddings=8192, coarse_steps=48, max_voxel_hit=6, samples_per_voxel=4),
+            optimizers={
+                "decoder": {"optimizer": A(lr=5e-3), "scheduler": None},
+                "embeddings": {"optimizer": A(lr=5e-3), "scheduler": None},
+                "tracking_pose": {"optimizer": A(lr=1e-2), "scheduler": None},
+                "mapping_pose": {"optimizer": A(lr=1e-3), "scheduler": None},
+            },
+        ),
+    )
+    pipe, ds, res = _run(cfg)
+    assert res["rmse"] * 100 < 10.0
+    assert pipe.algorithm.vox_map.n_voxels > 10
+
+
+def test_splatam_pipeline(interp_kernels):
+    from xrdslam_tpu.algorithms.splatam import SplaTAMConfig
+    from xrdslam_tpu.models.gaussian_splatting import GaussianSplattingConfig
+
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=-1, use_relative_pose=True, save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=2),
+        algorithm=SplaTAMConfig(
+            separate_LR=True, rot_rep="quat", tracking_n_iters=6, mapping_n_iters=10, mapping_first_n_iters=15,
+            mapping_window_size=3,
+            model=GaussianSplattingConfig(max_gaussians=8192, k_per_tile=48),
+            optimizers={
+                "means3D": {"optimizer": A(lr=0.0001, eps=1e-15), "scheduler": None},
+                "rgb_colors": {"optimizer": A(lr=0.0025, eps=1e-15), "scheduler": None},
+                "unnorm_rotations": {"optimizer": A(lr=0.001, eps=1e-15), "scheduler": None},
+                "logit_opacities": {"optimizer": A(lr=0.05, eps=1e-15), "scheduler": None},
+                "log_scales": {"optimizer": A(lr=0.001, eps=1e-15), "scheduler": None},
+                "tracking_pose_r": {"optimizer": A(lr=0.0004), "scheduler": None},
+                "tracking_pose_t": {"optimizer": A(lr=0.002), "scheduler": None},
+            },
+        ),
+    )
+    pipe, ds, res = _run(cfg, n_frames=4)
+    assert res["rmse"] * 100 < 10.0
+    assert pipe.algorithm.model.n_gauss > 100
+
+
+def test_pointslam_pipeline():
+    from xrdslam_tpu.algorithms.point_slam import PointSLAMConfig
+    from xrdslam_tpu.engine.schedulers import PointSLAMSchedulerConfig as S
+    from xrdslam_tpu.models.conv_onet_pointslam import ConvOnet2Config
+
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=2, render_freq=-1, save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=2),
+        algorithm=PointSLAMConfig(
+            rot_rep="quat", tracking_n_iters=8, mapping_n_iters=20, mapping_first_n_iters=40,
+            mapping_window_size=3, tracking_sample=192, mapping_sample=384, min_sample_pixels=40,
+            ray_batch_size=512, tracking_Wedge=6, tracking_Hedge=6, pixels_adding=800,
+            max_keyframes=8, mesh_resolution=48,
+            model=ConvOnet2Config(max_points=8192),
+            optimizers={
+                "decoder": {"optimizer": A(), "scheduler": S(start_lr=0.001, end_lr=0.005)},
+                "geometry": {"optimizer": A(), "scheduler": S(start_lr=0.03, end_lr=0.005)},
+                "color": {"optimizer": A(), "scheduler": S(start_lr=0.0, end_lr=0.005)},
+                "tracking_pose": {"optimizer": A(lr=2e-3), "scheduler": None},
+                "mapping_pose": {"optimizer": A(lr=1e-3), "scheduler": None},
+            },
+        ),
+    )
+    pipe, ds, res = _run(cfg)
+    assert res["rmse"] * 100 < 6.0
+    assert pipe.algorithm.point_map.n_points > 100
