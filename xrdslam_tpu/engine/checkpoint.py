@@ -1,0 +1,94 @@
+"""Mid-run checkpoint / resume.
+
+The reference has NO mid-run resume (SURVEY.md §5: only config.yml +
+eval.tar artifacts; its Optimizers.load_* helpers are dead code,
+slam/engine/optimizers.py:175-191). Here checkpointing is a first-class
+feature: the full SLAM state — model params, optimizer state, keyframe
+tables, pose lists, frame index — is saved as a pickled pytree of numpy
+arrays and restored into a freshly constructed algorithm.
+
+Every array leaf is converted to numpy at save time (device-agnostic) and
+re-uploaded lazily on first use after load. Host-side structures that are
+not jnp arrays (VoxelHashMap, PointMap, keyframe Frame lists, counters)
+are pickled as-is.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# attributes checkpointed on every algorithm (when present)
+_STATE_ATTRS = [
+    "model_params",
+    "model_opt_state",
+    "params",  # splatam
+    "kf_rays",
+    "kf_images",
+    "kf_pose",
+    "kf_pose_t",
+    "kf_pose_r",
+    "kf_count",
+    "kf_frames",
+    "keyframe_fids",
+    "vox_map",
+    "maps",
+    "point_map",
+    "_key",
+    "estimate_c2w_list",
+    "gt_c2w_list",
+    "gt_c2w_list_ori",
+    "initialized",
+]
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x, tree
+    )
+
+
+def _to_device(tree: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) and x.dtype != object else x, tree
+    )
+
+
+def save_checkpoint(path: str, algorithm: Any, frame_idx: int) -> None:
+    state: Dict[str, Any] = {"frame_idx": frame_idx, "attrs": {}}
+    for attr in _STATE_ATTRS:
+        if hasattr(algorithm, attr):
+            state["attrs"][attr] = _to_host(getattr(algorithm, attr))
+    # model-level host counters (splatam gaussian count, scene radius)
+    if hasattr(algorithm, "model"):
+        for mattr in ("n_gauss", "scene_radius"):
+            if hasattr(algorithm.model, mattr):
+                state.setdefault("model_attrs", {})[mattr] = getattr(algorithm.model, mattr)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+
+def load_checkpoint(path: str, algorithm: Any) -> int:
+    """Restore state into a freshly constructed algorithm; returns the frame
+    index to resume from."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    for attr, val in state["attrs"].items():
+        if attr in ("kf_count", "keyframe_fids", "estimate_c2w_list", "gt_c2w_list", "gt_c2w_list_ori",
+                    "initialized", "vox_map", "point_map", "kf_frames"):
+            setattr(algorithm, attr, val)
+        else:
+            setattr(algorithm, attr, _to_device(val))
+    for mattr, val in state.get("model_attrs", {}).items():
+        setattr(algorithm.model, mattr, val)
+    # rebuild device mirrors owned by host structures
+    if hasattr(algorithm, "vox_map") and hasattr(algorithm, "maps"):
+        algorithm.maps = algorithm.vox_map.device_state()
+    if hasattr(algorithm, "point_map") and hasattr(algorithm, "maps"):
+        algorithm.maps = algorithm.point_map.device_state()
+    return int(state["frame_idx"])

@@ -41,6 +41,7 @@ class TrackerConfig(InstantiateConfig):
     save_gt_mesh: bool = False
     save_re_render_result: bool = True
     init_pose_offset: float = 0.0
+    checkpoint_every: int = -1  # save resumable state every N frames (new vs reference)
 
 
 @dataclass
@@ -91,13 +92,20 @@ class SLAMPipeline:
         return pred
 
     # ------------------------------------------------------------------
-    def run(self) -> None:
+    def run(self, resume: bool = False) -> None:
         cfg_t = self.config.tracker
         cfg_m = self.config.mapper
         algo = self.algorithm
         n = len(self.dataset)
         first_pose_old = first_pose_new = None
-        for i in range(n):
+        start = 0
+        ckpt_path = os.path.join(self.out_dir, "checkpoint.pkl")
+        if resume and os.path.exists(ckpt_path):
+            from ..engine.checkpoint import load_checkpoint
+
+            start = load_checkpoint(ckpt_path, algo) + 1
+            print(f"[slam] resumed from {ckpt_path} at frame {start}", flush=True)
+        for i in range(start, n):
             idx, rgb, depth, gt_c2w = self.dataset[i]
             gt_c2w_ori = gt_c2w.copy()
             if cfg_t.use_relative_pose:
@@ -136,6 +144,11 @@ class SLAMPipeline:
                 and (i % cfg_t.render_freq == 0 or frame.is_final_frame)
             ):
                 self.save_debug_results(i, rgb, depth, frame.get_pose())
+
+            if cfg_t.checkpoint_every > 0 and (i % cfg_t.checkpoint_every == 0 or frame.is_final_frame):
+                from ..engine.checkpoint import save_checkpoint
+
+                save_checkpoint(ckpt_path, algo, i)
 
             if self.verbose and (i % 20 == 0 or frame.is_final_frame):
                 fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
