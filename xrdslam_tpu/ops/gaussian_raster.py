@@ -113,82 +113,130 @@ def bin_gaussians(
 # ---------------------------------------------------------------------------
 
 def _pixel_grid(tile_idx, ntx):
+    """Tile pixel coordinates as [P, 1] columns (Mosaic needs all-2D values;
+    1-D vectors in outer broadcasts crash the AOT compiler)."""
     ty = tile_idx // ntx
     tx = tile_idx % ntx
-    px = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1) + (tx * TILE).astype(jnp.float32)
-    py = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0) + (ty * TILE).astype(jnp.float32)
-    return px.reshape(-1), py.reshape(-1)  # [P]
+    lin = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+    px = (lin % TILE).astype(jnp.float32) + (tx * TILE).astype(jnp.float32)
+    py = (lin // TILE).astype(jnp.float32) + (ty * TILE).astype(jnp.float32)
+    return px, py  # [P, 1]
 
 
 def _alphas(gu, gv, gsig, gop, gmask, px, py):
-    """alpha [P, K] for tile pixels x gaussians."""
-    du = px[:, None] - gu[None, :]
-    dv = py[:, None] - gv[None, :]
+    """alpha [P, K]; gaussian attributes are [1, K] rows, pixels [P, 1]."""
+    du = px - gu
+    dv = py - gv
     inv2s2 = 0.5 / jnp.maximum(gsig * gsig, 1e-12)
-    gauss = jnp.exp(-(du * du + dv * dv) * inv2s2[None, :])
-    alpha = jnp.clip(gop[None, :] * gauss, 0.0, ALPHA_MAX)
-    return jnp.where(gmask[None, :], alpha, 0.0)
+    gauss = jnp.exp(-(du * du + dv * dv) * inv2s2)
+    alpha = jnp.clip(gop * gauss, 0.0, ALPHA_MAX)
+    return jnp.where(gmask, alpha, 0.0)
+
+
+def _cumsum_scan(x, exclusive=False):
+    """Exact f32 inclusive/exclusive cumulative sum along axis 1 (lanes) via
+    a Hillis-Steele doubling scan on pltpu.roll. Mosaic has no cumsum
+    lowering, and a triangular matmul runs at bf16 on the MXU (precision
+    hints are not honored in-kernel) — catastrophic for log-transmittance.
+    """
+    k = x.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = x
+    d = 1
+    while d < k:
+        rolled = pltpu.roll(s, d, axis=1)
+        s = s + jnp.where(cols >= d, rolled, 0.0)
+        d *= 2
+    if exclusive:
+        rolled = pltpu.roll(s, 1, axis=1)
+        s = jnp.where(cols >= 1, rolled, 0.0)
+    return s
+
+
+def _suffix_sum(x):
+    """suffix[k] = sum_{j>k} x[j] = total - inclusive_cumsum (lax.rev is not
+    lowerable in Mosaic, so no flipping)."""
+    total = jnp.sum(x, axis=1, keepdims=True)
+    return total - _cumsum_scan(x, exclusive=False)
 
 
 def _transmittance(alpha):
     log1m = jnp.log1p(-alpha)
-    csum = jnp.cumsum(log1m, axis=1)
-    T = jnp.exp(jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum[:, :-1]], 1))
-    return T
+    return jnp.exp(_cumsum_scan(log1m, exclusive=True))
 
 
-def _fwd_kernel(ntx_ref, g_ref, out_ref):
-    """g_ref [1, K, 16]: per-tile gathered gaussian data
-    (u, v, sigma, opacity, mask, ch0..7, pad...). out [1, P, N_CH]."""
+def _fwd_kernel(g_ref, out_ref, *, ntx: int):
+    """g_ref [1, 16, K]: per-tile gaussian data transposed (attribute rows:
+    u, v, sigma, opacity, mask, ch0..7, pad). out [1, P, N_CH]."""
     tile_idx = pl.program_id(0)
-    px, py = _pixel_grid(tile_idx, ntx_ref[0])
-    g = g_ref[0]
-    gu, gv, gsig, gop, gmask = g[:, 0], g[:, 1], g[:, 2], g[:, 3], g[:, 4] > 0.5
+    px, py = _pixel_grid(tile_idx, ntx)
+    g = g_ref[0]  # [16, K]
+    gu, gv, gsig, gop = g[0:1, :], g[1:2, :], g[2:3, :], g[3:4, :]
+    gmask = g[4:5, :] > 0.5
     alpha = _alphas(gu, gv, gsig, gop, gmask, px, py)  # [P, K]
     T = _transmittance(alpha)
     w = alpha * T  # [P, K]
-    ch = g[:, 5 : 5 + N_CH]  # [K, N_CH]
-    out_ref[0] = jax.lax.dot_general(w, ch, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    ch = g[5 : 5 + N_CH, :]  # [N_CH, K]
+    out_ref[0] = jax.lax.dot_general(
+        w, ch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
-def _bwd_kernel(ntx_ref, g_ref, gout_ref, dg_ref):
-    """Gradients wrt per-tile gaussian data. dg [1, K, 16]."""
+def _bwd_kernel(g_ref, gout_ref, dg_ref, *, ntx: int):
+    """Gradients wrt per-tile gaussian data (transposed layout [16, K])."""
     tile_idx = pl.program_id(0)
-    px, py = _pixel_grid(tile_idx, ntx_ref[0])
-    g = g_ref[0]
-    gu, gv, gsig, gop, gmask = g[:, 0], g[:, 1], g[:, 2], g[:, 3], g[:, 4] > 0.5
-    ch = g[:, 5 : 5 + N_CH]  # [K, C]
-    du = px[:, None] - gu[None, :]
-    dv = py[:, None] - gv[None, :]
-    sig2 = jnp.maximum(gsig * gsig, 1e-12)
+    px, py = _pixel_grid(tile_idx, ntx)
+    g = g_ref[0]  # [16, K]
+    gu, gv, gsig, gop = g[0:1, :], g[1:2, :], g[2:3, :], g[3:4, :]
+    gmask = g[4:5, :] > 0.5
+    ch = g[5 : 5 + N_CH, :]  # [C, K]
+    du = px - gu  # [P, K]
+    dv = py - gv
+    sig2 = jnp.maximum(gsig * gsig, 1e-12)  # [1, K]
     inv2s2 = 0.5 / sig2
     r2 = du * du + dv * dv
-    gauss = jnp.exp(-r2 * inv2s2[None, :])
-    raw_alpha = gop[None, :] * gauss
+    gauss = jnp.exp(-r2 * inv2s2)
+    raw_alpha = gop * gauss
     clamped = raw_alpha > ALPHA_MAX
-    alpha = jnp.where(gmask[None, :], jnp.clip(raw_alpha, 0.0, ALPHA_MAX), 0.0)
+    alpha = jnp.where(gmask, jnp.clip(raw_alpha, 0.0, ALPHA_MAX), 0.0)
     T = _transmittance(alpha)
     w = alpha * T
-    gpx = gout_ref[0]  # [P, C] upstream gradient
-    # channel grad: dch[k, c] = sum_p w[p,k] * gpx[p,c]
-    dch = jax.lax.dot_general(w, gpx, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    # gdotc[p, k] = sum_c gpx[p,c] * ch[k,c]
-    gdotc = jax.lax.dot_general(gpx, ch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    # suffix S[p,k] = sum_{j>k} gdotc[p,j] * w[p,j]
+    gpx = gout_ref[0]  # [P, C]
+    # dch[c, k] = sum_p gpx[p, c] * w[p, k]
+    dch = jax.lax.dot_general(
+        gpx, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # gdotc[p, k] = sum_c gpx[p, c] * ch[c, k]
+    gdotc = jax.lax.dot_general(
+        gpx, ch, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     contrib = gdotc * w
-    suffix = jnp.cumsum(contrib[:, ::-1], axis=1)[:, ::-1] - contrib
+    suffix = _suffix_sum(contrib)
     dalpha = T * gdotc - suffix / jnp.maximum(1.0 - alpha, 1e-6)
-    dalpha = jnp.where(clamped | ~gmask[None, :], 0.0, dalpha)
+    dalpha = jnp.where(clamped | ~gmask, 0.0, dalpha)
     # chain: alpha = op * G, G = exp(-r^2/(2 sig^2));
     # dG/dgu = G * du/sig^2, dG/dgv = G * dv/sig^2, dG/dsig = G * r^2/sig^3
-    dgauss = dalpha * gop[None, :]
+    dgauss = dalpha * gop
     dG_common = dgauss * gauss
-    dg = jnp.zeros_like(g)
-    dg = dg.at[:, 0].set(jnp.sum(dG_common * du, axis=0) / sig2)
-    dg = dg.at[:, 1].set(jnp.sum(dG_common * dv, axis=0) / sig2)
-    dg = dg.at[:, 2].set(jnp.sum(dG_common * r2, axis=0) / (sig2 * jnp.maximum(gsig, 1e-6)))
-    dg = dg.at[:, 3].set(jnp.sum(dalpha * gauss, axis=0))
-    dg = dg.at[:, 5 : 5 + N_CH].set(dch)
+    K = g.shape[1]
+    # assemble by concatenation: value-level .at[].set lowers to an
+    # (unsupported) scatter in Mosaic
+    zero_row = jnp.zeros((1, K), jnp.float32)
+    dg = jnp.concatenate(
+        [
+            jnp.sum(dG_common * du, axis=0, keepdims=True) / sig2,
+            jnp.sum(dG_common * dv, axis=0, keepdims=True) / sig2,
+            jnp.sum(dG_common * r2, axis=0, keepdims=True) / (sig2 * jnp.maximum(gsig, 1e-6)),
+            jnp.sum(dalpha * gauss, axis=0, keepdims=True),
+            zero_row,
+            dch,
+            jnp.zeros((16 - 5 - N_CH, K), jnp.float32),
+        ],
+        axis=0,
+    )
     dg_ref[0] = dg
 
 
@@ -209,7 +257,7 @@ def _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask):
     )
     tiled = jnp.take(data, tile_ids, axis=0)  # [T, K, 16]
     tiled = tiled.at[:, :, 4].set(tile_mask.astype(u.dtype))
-    return tiled
+    return tiled.transpose(0, 2, 1)  # [T, 16, K] (attributes in sublanes)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -229,18 +277,16 @@ def rasterize(u, v, sigma, opacity, channels, tile_ids, tile_mask, ntx, nty):
 def _raster_fwd_impl(u, v, sigma, opacity, channels, tile_ids_mask, ntx, nty):
     tile_ids, tile_mask = tile_ids_mask
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
-    n_tiles, K, _ = tiled.shape
-    ntx_arr = jnp.asarray([ntx], jnp.int32)
+    n_tiles, _, K = tiled.shape
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, ntx=ntx),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, TILE * TILE, N_CH), jnp.float32),
-    )(ntx_arr, tiled)
+    )(tiled)
     # [T, P, C] -> [H_pad, W_pad, C]
     out = out.reshape(nty, ntx, TILE, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, N_CH)
     return out
@@ -254,23 +300,21 @@ def _raster_fwd(u, v, sigma, opacity, channels, tile_ids, tile_mask, ntx, nty):
 def _raster_bwd(ntx, nty, res, gout):
     u, v, sigma, opacity, channels, tile_ids, tile_mask = res
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
-    n_tiles, K, _ = tiled.shape
+    n_tiles, _, K = tiled.shape
     gt = gout.reshape(nty, TILE, ntx, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE * TILE, N_CH)
-    ntx_arr = jnp.asarray([ntx], jnp.int32)
     dg = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, ntx=ntx),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, K, 16), jnp.float32),
-    )(ntx_arr, tiled, gt)
+        out_specs=pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
+    )(tiled, gt)
     # accumulate per-gaussian over tiles: scatter-free matmul kernel
     flat_idx = tile_ids.reshape(-1)
-    flat_dg = (dg * tile_mask[..., None]).reshape(-1, 16)
+    flat_dg = (dg.transpose(0, 2, 1) * tile_mask[..., None]).reshape(-1, 16)
     acc = scatter_add_matmul(flat_idx, flat_dg, u.shape[0])  # [G, 16]
     du = acc[:, 0]
     dv = acc[:, 1]
