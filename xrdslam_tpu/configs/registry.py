@@ -249,3 +249,27 @@ algorithm_configs["point-slam"] = RunnerConfig(
         enable_vis=False,
     ),
 )
+
+# --------------------------------------------------------------------------
+# dpvo (reference: input_config.py:434-453)
+# --------------------------------------------------------------------------
+from ..algorithms.dpvo import DPVOConfig  # noqa: E402
+from ..models.vonet import VONetConfig  # noqa: E402
+
+algorithm_configs["dpvo"] = RunnerConfig(
+    algorithm_name="dpvo",
+    xrdslam=SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=-1, render_freq=50, save_debug_result=False),
+        algorithm=DPVOConfig(
+            mapping_window_size=32,
+            patch_lifetime=13,
+            patch_per_frame=96,
+            init_frame_num=8,
+            optimization_window=10,
+            buffer_size=2048,
+            mem=32,
+            model=VONetConfig(pretrained_path="pretrained/dpvo/dpvo.pth"),
+        ),
+        enable_vis=False,
+    ),
+)

@@ -96,3 +96,60 @@ def pose_vec_to_matrix(t: np.ndarray, r: np.ndarray, rot_rep: str = "axis_angle"
         raise ValueError(rot_rep)
     M[:3, 3] = np.asarray(t, np.float64)
     return M.astype(np.float32)
+
+def pose_matrix(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(t, quat w-first) -> 4x4 matrix."""
+    M = np.eye(4)
+    M[:3, :3] = quaternion_to_matrix(np.asarray(q, np.float64))
+    M[:3, 3] = np.asarray(t, np.float64)
+    return M
+
+
+def pose_tq(M: np.ndarray):
+    """4x4 matrix -> (t [3], quat [4] w-first), both float32."""
+    M = np.asarray(M, np.float64)
+    return (M[:3, 3].astype(np.float32),
+            matrix_to_quaternion(M[:3, :3]).astype(np.float32))
+
+
+def se3_exp(xi: np.ndarray) -> np.ndarray:
+    """se(3) tangent (v, w) [6] -> 4x4 matrix (Rodrigues + V-matrix)."""
+    xi = np.asarray(xi, np.float64)
+    v, w = xi[:3], xi[3:]
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-10:
+        R = np.eye(3) + K
+        V = np.eye(3) + 0.5 * K
+    else:
+        A = np.sin(th) / th
+        B = (1 - np.cos(th)) / th**2
+        C = (1 - A) / th**2
+        R = np.eye(3) + A * K + B * (K @ K)
+        V = np.eye(3) + B * K + C * (K @ K)
+    M = np.eye(4)
+    M[:3, :3] = R
+    M[:3, 3] = V @ v
+    return M
+
+
+def se3_log(M: np.ndarray) -> np.ndarray:
+    """4x4 matrix -> se(3) tangent (v, w) [6]."""
+    M = np.asarray(M, np.float64)
+    R, t = M[:3, :3], M[:3, 3]
+    cos = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
+    th = np.arccos(cos)
+    if th < 1e-10:
+        w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                            R[1, 0] - R[0, 1]])
+        Vinv = np.eye(3)
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        Vinv -= 0.5 * K
+    else:
+        w = th / (2 * np.sin(th)) * np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        Vinv = (np.eye(3) - 0.5 * K +
+                (1 - th * np.cos(th / 2) / (2 * np.sin(th / 2))) / th**2 *
+                (K @ K))
+    return np.concatenate([Vinv @ t, w])

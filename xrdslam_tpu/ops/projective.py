@@ -63,12 +63,15 @@ def reproject(
     intrinsics: jnp.ndarray,
     ii: jnp.ndarray,
     jj: jnp.ndarray,
+    tonly: bool = False,
 ) -> jnp.ndarray:
     """Reproject patches from frame ii into frame jj
     (projective_ops_dpvo.py:53-76 ``transform``).
 
     poses are world-to-camera: X_cam_j = T_j T_i^{-1} X_cam_i.
     patch_uvd [E, ..., 3] (pixels+invdepth in frame ii).
+    ``tonly`` zeroes the relative rotation (transform(..., tonly=True),
+    used by flow_mag's translation-only branch).
     Returns pixel coords [E, ..., 2] in frame jj.
     """
     X_i = iproj(patch_uvd, intrinsics)
@@ -81,6 +84,21 @@ def reproject(
         Xw = se3_inv_act(ti_, qi_, X)
         Xj = se3_act(tj_, qj_, Xw)
         return proj(Xj, intrinsics)
+
+    if tonly:
+        # Gij = T_j T_i^{-1} with rotation forced to identity: act on the
+        # camera-i points with translation t_ij = t_j - R_j R_i^T t_i ...
+        # equivalently compose then strip rotation; do it per edge.
+        def one_t(ti_, qi_, tj_, qj_, X):
+            # relative SE3 (R_ij, t_ij)
+            qc = qi_ * jnp.asarray([1.0, -1.0, -1.0, -1.0])
+            q_rel = lie.quaternion_multiply(qj_, qc)
+            t_rel = tj_ - lie.quaternion_rotate(q_rel[None], ti_[None])[0]
+            Xj = jnp.concatenate(
+                [X[..., :3] + X[..., 3:4] * t_rel, X[..., 3:4]], -1)
+            return proj(Xj, intrinsics)
+
+        return jax.vmap(one_t)(ti, qi, tj, qj, X_i)
 
     return jax.vmap(one)(ti, qi, tj, qj, X_i)
 
@@ -95,9 +113,17 @@ def point_cloud(poses_t, poses_q, patch_uvd, intrinsics, ii):
     return Xw[..., :3] / w
 
 
-def flow_mag(poses_t, poses_q, patch_uvd, intrinsics, ii, jj) -> jnp.ndarray:
-    """Mean flow magnitude of patches between frames (projective_ops:146-156),
-    used for DPVO keyframing decisions."""
+def flow_mag(poses_t, poses_q, patch_uvd, intrinsics, ii, jj,
+             beta: float = 0.5) -> jnp.ndarray:
+    """Per-edge flow magnitude (projective_ops_dpvo.py:146-156): a beta-mix
+    of the full reprojection flow and the translation-only flow, both
+    relative to the identity i->i reprojection. Used for DPVO keyframing
+    (dpvo.py:268-282, beta=0.5)."""
+    coords0 = patch_uvd[..., :2]
     coords1 = reproject(poses_t, poses_q, patch_uvd, intrinsics, ii, jj)
-    flow = coords1 - patch_uvd[..., :2]
-    return jnp.linalg.norm(flow, axis=-1).mean(axis=tuple(range(1, flow.ndim - 1)))
+    coords2 = reproject(poses_t, poses_q, patch_uvd, intrinsics, ii, jj,
+                        tonly=True)
+    flow1 = jnp.linalg.norm(coords1 - coords0, axis=-1)
+    flow2 = jnp.linalg.norm(coords2 - coords0, axis=-1)
+    mag = beta * flow1 + (1.0 - beta) * flow2
+    return mag.mean(axis=tuple(range(1, mag.ndim)))

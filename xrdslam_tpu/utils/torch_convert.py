@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -81,3 +82,90 @@ def load_nice_decoders(middle_fine_path: str, coarse_path: Optional[str] = None)
         coarse_state = {k: v for k, v in model2.items() if "decoder" in k and "encoder" not in k}
         out["coarse"] = _convert_mlp(coarse_state)
     return out
+
+
+def load_dpvo_weights(path: str) -> Dict[str, Any]:
+    """Convert a pretrained DPVO checkpoint (dpvo.pth) to the VONet param
+    tree (models/vonet.py). Mirrors the reference loader (slam/models/
+    vo_net_model.py:39-50: strips ``module.`` prefixes and drops
+    ``update.lmbda``).
+
+    Mapping (torch name -> tree path):
+      patchify.fnet.*  -> fnet.*    (convs stay OIHW; no transpose)
+      patchify.inet.*  -> inet.*
+      update.c1.{0,2}  -> update.c1[0,1]   (nn.Sequential indices)
+      update.gru.{0..3} -> update.gru.{ln1,gr1,ln2,gr2}
+      update.corr.{0,2,3,5} -> update.corr[0,1,2(LN),3]
+      update.agg_kk/agg_ij .f/.g/.h -> SoftAgg linears
+      update.d.1 / update.w.1 -> heads (GradientClip/Sigmoid have no params)
+
+    Caveat: the 882-dim correlation feature order here is
+    stack([corr_lvl1, corr_lvl2], -1).reshape(E, -1) with corr of shape
+    [E, P, P, 7, 7]; if the reference CUDA kernel flattens in a different
+    order, the first corr linear's input columns need the matching
+    permutation. Verify against a torch forward before trusting converted
+    weights.
+    """
+    state = _torch_load(path)
+    state = {k.replace("module.", ""): v for k, v in state.items()
+             if "update.lmbda" not in k}
+
+    def arr(name):
+        return jnp.asarray(np.asarray(state[name].detach().cpu().numpy(),
+                                      np.float32))
+
+    def conv(prefix):
+        return {"w": arr(prefix + ".weight"), "b": arr(prefix + ".bias")}
+
+    def linear(prefix):
+        return {"w": arr(prefix + ".weight"), "b": arr(prefix + ".bias")}
+
+    def ln(prefix):
+        return {"w": arr(prefix + ".weight"), "b": arr(prefix + ".bias")}
+
+    def resblock(prefix, has_down):
+        p = {"conv1": conv(prefix + ".conv1"), "conv2": conv(prefix + ".conv2")}
+        if has_down:
+            p["down"] = conv(prefix + ".downsample.0")
+        return p
+
+    def encoder(prefix):
+        return {
+            "conv1": conv(prefix + ".conv1"),
+            "layer1": [resblock(prefix + ".layer1.0", False),
+                       resblock(prefix + ".layer1.1", False)],
+            "layer2": [resblock(prefix + ".layer2.0", True),
+                       resblock(prefix + ".layer2.1", False)],
+            "conv2": conv(prefix + ".conv2"),
+        }
+
+    def softagg(prefix):
+        return {"f": linear(prefix + ".f"), "g": linear(prefix + ".g"),
+                "h": linear(prefix + ".h")}
+
+    up = "update"
+    return {
+        "fnet": encoder("patchify.fnet"),
+        "inet": encoder("patchify.inet"),
+        "update": {
+            "c1": [linear(f"{up}.c1.0"), linear(f"{up}.c1.2")],
+            "c2": [linear(f"{up}.c2.0"), linear(f"{up}.c2.2")],
+            "norm": ln(f"{up}.norm"),
+            "agg_kk": softagg(f"{up}.agg_kk"),
+            "agg_ij": softagg(f"{up}.agg_ij"),
+            "gru": {
+                "ln1": ln(f"{up}.gru.0"),
+                "gr1": {"gate": linear(f"{up}.gru.1.gate.0"),
+                        "res1": linear(f"{up}.gru.1.res.0"),
+                        "res2": linear(f"{up}.gru.1.res.2")},
+                "ln2": ln(f"{up}.gru.2"),
+                "gr2": {"gate": linear(f"{up}.gru.3.gate.0"),
+                        "res1": linear(f"{up}.gru.3.res.0"),
+                        "res2": linear(f"{up}.gru.3.res.2")},
+            },
+            "corr": [linear(f"{up}.corr.0"), linear(f"{up}.corr.2"),
+                     ln(f"{up}.corr.3"), linear(f"{up}.corr.5")],
+            "d": linear(f"{up}.d.1"),
+            "w": linear(f"{up}.w.1"),
+        },
+    }
