@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, tempfile, time, sys
 from xrdslam_tpu.common.synthetic import SyntheticDataset
 from xrdslam_tpu.engine.optimizers import AdamOptimizerConfig as A
