@@ -65,3 +65,24 @@ def test_pointslam_model_grads():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert float(jnp.abs(g["geometry"]["feats"]).max()) > 0
+
+
+def test_scatter_add_matmul_large_table(monkeypatch):
+    """Row-blocked matmul-scatter at Point-SLAM scale (the full-table
+    accumulator used to exceed the 16 MB VMEM scoped limit on v5e)."""
+    from jax.experimental import pallas as pl
+
+    import xrdslam_tpu.ops.pallas_scatter as ps
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(ps.pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.default_rng(0)
+    num_rows, n, c = 131072, 8192, 32
+    idx = rng.integers(0, num_rows, n).astype(np.int32)
+    g = rng.normal(size=(n, c)).astype(np.float32)
+    out = np.asarray(ps.scatter_add_matmul(jnp.asarray(idx), jnp.asarray(g), num_rows))
+    ref = np.zeros((num_rows, c), np.float32)
+    np.add.at(ref, idx, g)
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-3

@@ -16,9 +16,18 @@ slam/algorithms/point_slam.py:20-435). Structural mapping:
   * Mesh: TSDF fusion of rendered keyframe RGB-D (reference
     get_mesh_from_RGBD via Open3D, common.py:622-663) -> ops.tsdf_fusion.
 
-Round-1 simplifications: fixed query radius (use_dynamic_radius=False
-path), no color-gradient pixel sampling, mapping_BA off (reference default
-mapping_BA=False, input_config.py:322).
+  * Dynamic radii (point_slam.py:339-366): per-frame Sobel color-gradient
+    -> per-pixel add/query radii; the r_query map is stored as a 5th
+    channel of the keyframe RGBD table so window sampling picks it up for
+    free. Point insertion uses per-pixel r_add for both the density test
+    and the along-ray spread.
+  * mapping_pixels_based_on_color_grad (point_slam.py:42,124-138): extra
+    mapping rays at the current frame's top color-gradient pixels
+    (host-selected once per mapping call). Default 0, like the reference.
+
+Round-1 simplifications: tracking_sample_with_color_grad off (reference
+default), mapping_BA off (reference default mapping_BA=False,
+input_config.py:322).
 """
 from __future__ import annotations
 
@@ -56,6 +65,8 @@ class PointSLAMConfig(AlgorithmConfig):
     mapping_BA: bool = False
     mapping_geo_iter_ratio: float = 0.4
     pixels_adding: int = 6000
+    # extra mapping rays at top color-grad pixels (reference :42, default 0)
+    mapping_pixels_based_on_color_grad: int = 0
     max_keyframes: int = 64
     mesh_resolution: int = 256
     seed: int = 0
@@ -70,13 +81,14 @@ class PointSLAM(Algorithm):
         self._key = jax.random.PRNGKey(config.seed)
         self.model_params = self.model.init_params(self._next_key())
         self.point_map = PointMap(
-            max_points=config.model.max_points, cell_size=2.0 * config.model.pointcloud_radius_query
+            max_points=config.model.max_points, cell_size=2.0 * self.model._max_query_radius()
         )
         self.maps = self.point_map.device_state()
         self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         self._scheds = {name: g.get("scheduler") for name, g in config.optimizers.items()}
         H, W = camera.height, camera.width
-        self.kf_images = jnp.zeros((config.max_keyframes, H, W, 4), jnp.float32)
+        # channels: rgb, depth, dynamic r_query (point_slam.py:79-92)
+        self.kf_images = jnp.zeros((config.max_keyframes, H, W, 5), jnp.float32)
         self.kf_pose = jnp.zeros((config.max_keyframes, 7), jnp.float32)  # t + quat
         self.kf_count = 0
         self._dirs = camera_ray_dirs(camera)
@@ -88,6 +100,47 @@ class PointSLAM(Algorithm):
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    # ------------------------------------------------------------------
+    def cal_dynamic_radius(self, rgb: np.ndarray):
+        """Per-pixel add/query radii from Sobel color-gradient magnitude
+        (reference point_slam.py:339-366): piecewise-linear map
+        [0, 0.01, thresh] -> [r_max, r_max, r_min]. Returns
+        (r_add [H,W], r_query [H,W]) or (None, None) when disabled."""
+        c = self.config.model
+        if not c.use_dynamic_radius:
+            return None, None
+        gray = rgb @ np.array([0.2125, 0.7154, 0.0721], np.float32)
+        kx = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], np.float32) / 4.0
+        pad = np.pad(gray, 1, mode="edge")
+        gx = sum(kx[i, j] * pad[i:i + gray.shape[0], j:j + gray.shape[1]]
+                 for i in range(3) for j in range(3))
+        gy = sum(kx.T[i, j] * pad[i:i + gray.shape[0], j:j + gray.shape[1]]
+                 for i in range(3) for j in range(3))
+        mag = np.clip(np.sqrt(gx**2 + gy**2), 0.0,
+                      c.pointcloud_color_grad_threshold)
+        xs = [0.0, 0.01, c.pointcloud_color_grad_threshold]
+        r_add = np.interp(mag, xs, [c.pointcloud_radius_add_max,
+                                    c.pointcloud_radius_add_max,
+                                    c.pointcloud_radius_add_min])
+        ratio = c.pointcloud_radius_query_ratio
+        r_query = np.interp(mag, xs, [ratio * c.pointcloud_radius_add_max,
+                                      ratio * c.pointcloud_radius_add_max,
+                                      ratio * c.pointcloud_radius_add_min])
+        return r_add.astype(np.float32), r_query.astype(np.float32)
+
+    def _frame_rgbdr(self, frame: Frame) -> jnp.ndarray:
+        """[H, W, 5] rgb + depth + dynamic r_query map for a frame."""
+        _, r_query = self.cal_dynamic_radius(frame.rgb)
+        if r_query is None:
+            r_query = np.full(frame.depth.shape,
+                              self.config.model.pointcloud_radius_query,
+                              np.float32)
+        return jnp.concatenate([
+            jnp.asarray(frame.rgb),
+            jnp.asarray(frame.depth)[..., None],
+            jnp.asarray(r_query)[..., None],
+        ], -1)
 
     def _phase_lr(self, group: str, stage: str) -> float:
         sched = self._scheds.get(group)
@@ -101,7 +154,7 @@ class PointSLAM(Algorithm):
         model = self.model
         H, W = self.camera.height, self.camera.width
 
-        def track_step(params, maps, rgb, depth, pose0, key):
+        def track_step(params, maps, rgbdr, pose0, key):
             opt = GroupOptimizers({"tracking_pose": self._opt_cfgs["tracking_pose"]})
             pv = {"tracking_pose": pose0}
             opt_state = opt.init(pv)
@@ -111,8 +164,10 @@ class PointSLAM(Algorithm):
                 k1, k2 = jax.random.split(k)
                 u, v = sample_pixels(k1, cfg.tracking_sample, H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
                 ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
-                td = depth[vi, ui][:, None]
-                ts = rgb[vi, ui]
+                px = rgbdr[vi, ui]
+                td = px[:, 3:4]
+                ts = px[:, :3]
+                rq = px[:, 4]
                 d_cam = self._dirs[vi, ui]
 
                 def loss_fn(p):
@@ -120,7 +175,7 @@ class PointSLAM(Algorithm):
                     R = lie.quaternion_to_matrix(pose[3:])
                     rays_d = d_cam @ R.T
                     rays_o = jnp.broadcast_to(pose[:3], rays_d.shape)
-                    loss, _ = model.get_loss(params, maps, k2, rays_o, rays_d, ts, td, False, "color")
+                    loss, _ = model.get_loss(params, maps, k2, rays_o, rays_d, ts, td, False, "color", r_query=rq)
                     return loss
 
                 loss, g = jax.value_and_grad(loss_fn)(pv)
@@ -136,7 +191,7 @@ class PointSLAM(Algorithm):
 
         self._track_step = jax.jit(track_step)
 
-        def map_step(params, maps, images, poses, key, *, n_frames, n_iters):
+        def map_step(params, maps, images, poses, grad_uv, key, *, n_frames, n_iters, n_grad):
             pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
             geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
             phases = [("geometry", geo_iters), ("color", n_iters - geo_iters)]
@@ -162,19 +217,27 @@ class PointSLAM(Algorithm):
                     def loss_fn(p):
                         mp = {**params, **p}
                         keys = jax.random.split(k1, n_frames)
-                        ros, rds, tss, tds = [], [], [], []
+                        ros, rds, tss, tds, rqs = [], [], [], [], []
                         for f in range(n_frames):
                             u, v = sample_pixels(keys[f], pixs, H, W)
                             ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
+                            if n_grad > 0 and f == n_frames - 1:
+                                # extra top color-grad pixels on the current
+                                # frame (point_slam.py:124-138)
+                                ui = jnp.concatenate([ui, grad_uv[:, 0]])
+                                vi = jnp.concatenate([vi, grad_uv[:, 1]])
+                            m = ui.shape[0]
                             rgbd = images[f, vi, ui]
                             R = lie.quaternion_to_matrix(poses[f, 3:])
                             rds.append(self._dirs[vi, ui] @ R.T)
-                            ros.append(jnp.broadcast_to(poses[f, :3], (pixs, 3)))
+                            ros.append(jnp.broadcast_to(poses[f, :3], (m, 3)))
                             tss.append(rgbd[:, :3])
                             tds.append(rgbd[:, 3:4])
+                            rqs.append(rgbd[:, 4])
                         loss, _ = model.get_loss(
                             mp, maps, k2, jnp.concatenate(ros), jnp.concatenate(rds),
                             jnp.concatenate(tss), jnp.concatenate(tds), True, stage,
+                            r_query=jnp.concatenate(rqs),
                         )
                         return loss
 
@@ -189,13 +252,18 @@ class PointSLAM(Algorithm):
         self._map_step_raw = map_step
 
         def render_chunk(params, maps, rays_o, rays_d, td, key):
-            return model.render_rays(params, maps, key, rays_o, rays_d, td, "color")
+            # offline render: use the max dynamic query radius everywhere
+            # (frames rendered without a stored per-pixel r map)
+            rq = jnp.full(rays_o.shape[:1], model._max_query_radius())
+            return model.render_rays(params, maps, key, rays_o, rays_d, td, "color", r_query=rq)
 
         self._render_chunk = jax.jit(render_chunk)
 
     # ------------------------------------------------------------------
     def add_points_from_frame(self, frame: Frame, n_pixels: int) -> None:
-        """Density-driven point addition (point_slam.py:94-155)."""
+        """Density-driven point addition (point_slam.py:94-155); with
+        dynamic radii the density test and along-ray spread use the
+        per-pixel r_add (point_slam.py:113-121)."""
         cfg = self.config.model
         rng = np.random.default_rng(int(self._next_key()[0]))
         d = frame.depth
@@ -205,25 +273,51 @@ class PointSLAM(Algorithm):
         pick = rng.integers(0, len(vs), min(n_pixels, len(vs)))
         u, v = us[pick], vs[pick]
         z = d[v, u]
+        r_add_map, _ = self.cal_dynamic_radius(frame.rgb)
+        r_add = (r_add_map[v, u] if r_add_map is not None
+                 else np.full(len(u), cfg.pointcloud_radius_add, np.float32))
+        # extra insertion pixels at top color gradients (point_slam.py:124-138)
+        n_grad = self.config.mapping_pixels_based_on_color_grad
+        if n_grad > 0:
+            gu, gv = self._top_grad_pixels(frame.rgb, n_grad)
+            gz = d[gv, gu]
+            keep = gz > 0
+            u = np.concatenate([u, gu[keep]])
+            v = np.concatenate([v, gv[keep]])
+            z = np.concatenate([z, gz[keep]])
+            gr = (r_add_map[gv, gu][keep] if r_add_map is not None
+                  else np.full(int(keep.sum()), cfg.pointcloud_radius_add,
+                               np.float32))
+            r_add = np.concatenate([r_add, gr])
         c2w = frame.get_pose()
         dirs_w = self._dirs_np[v, u] @ c2w[:3, :3].T
         surf = c2w[:3, 3] + dirs_w * z[:, None]
-        counts = self.point_map.neighbor_counts(surf, cfg.pointcloud_radius_add)
+        counts = self.point_map.neighbor_counts(surf, r_add)
         need = counts < cfg.pointcloud_min_nn_num
         if not need.any():
             return
-        spread = cfg.pointcloud_radius_add
-        zs = z[need][:, None] + np.array([-spread, 0.0, spread])[None, :]
+        spread = r_add[need][:, None]
+        zs = z[need][:, None] + spread * np.array([-1.0, 0.0, 1.0])[None, :]
         pts = (c2w[:3, 3][None, None] + dirs_w[need][:, None, :] * zs[..., None]).reshape(-1, 3)
         if self.point_map.add_points(pts):
             self.maps = self.point_map.device_state()
+
+    def _top_grad_pixels(self, rgb: np.ndarray, n: int):
+        """Top-n color-gradient pixels (u, v) (point_slam.py:124-138)."""
+        gray = rgb @ np.array([0.2125, 0.7154, 0.0721], np.float32)
+        gx = np.abs(np.diff(gray, axis=1, append=gray[:, -1:]))
+        gy = np.abs(np.diff(gray, axis=0, append=gray[-1:]))
+        mag = (gx + gy).ravel()
+        idx = np.argpartition(mag, -n)[-n:]
+        v, u = np.unravel_index(idx, gray.shape)
+        return u.astype(np.int64), v.astype(np.int64)
 
     def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
         if not self.is_initialized():
             return None
         pose0 = jnp.concatenate([jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r)])
         best, _ = self._track_step(
-            self.model_params, self.maps, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth), pose0, self._next_key()
+            self.model_params, self.maps, self._frame_rgbdr(cur_frame), pose0, self._next_key()
         )
         from ..ops import lie_np
 
@@ -242,19 +336,25 @@ class PointSLAM(Algorithm):
             rng = np.random.default_rng(int(self._next_key()[0]))
             slots = sorted(int(s) for s in rng.permutation(self.kf_count - 1)[: k - 1]) + [self.kf_count - 1]
         cur_pose = np.concatenate([cur_frame.t, cur_frame.r]).astype(np.float32)
-        cur_img = jnp.concatenate([jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth)[..., None]], -1)[None]
+        cur_img = self._frame_rgbdr(cur_frame)[None]
         if slots:
             idx = jnp.asarray(slots, jnp.int32)
             images = jnp.concatenate([self.kf_images[idx], cur_img], 0)
             poses = jnp.concatenate([self.kf_pose[idx], jnp.asarray(cur_pose)[None]], 0)
         else:
             images, poses = cur_img, jnp.asarray(cur_pose)[None]
-        sig = (len(slots) + 1, n_iters)
+        n_grad = cfg.mapping_pixels_based_on_color_grad
+        if n_grad > 0:
+            gu, gv = self._top_grad_pixels(cur_frame.rgb, n_grad)
+            grad_uv = jnp.asarray(np.stack([gu, gv], -1), jnp.int32)
+        else:
+            grad_uv = jnp.zeros((0, 2), jnp.int32)
+        sig = (len(slots) + 1, n_iters, n_grad)
         if sig not in self._map_variants:
             self._map_variants[sig] = jax.jit(
-                functools.partial(self._map_step_raw, n_frames=sig[0], n_iters=sig[1])
+                functools.partial(self._map_step_raw, n_frames=sig[0], n_iters=sig[1], n_grad=sig[2])
             )
-        self.model_params = self._map_variants[sig](self.model_params, self.maps, images, poses, self._next_key())
+        self.model_params = self._map_variants[sig](self.model_params, self.maps, images, poses, grad_uv, self._next_key())
         if first:
             self.set_initialized()
 
@@ -262,8 +362,7 @@ class PointSLAM(Algorithm):
         if self.kf_count >= self.config.max_keyframes:
             raise RuntimeError("keyframe capacity exceeded")
         slot = self.kf_count
-        rgbd = jnp.concatenate([jnp.asarray(keyframe.rgb), jnp.asarray(keyframe.depth)[..., None]], -1)
-        self.kf_images = self.kf_images.at[slot].set(rgbd)
+        self.kf_images = self.kf_images.at[slot].set(self._frame_rgbdr(keyframe))
         self.kf_pose = self.kf_pose.at[slot].set(jnp.concatenate([jnp.asarray(keyframe.t), jnp.asarray(keyframe.r)]))
         self.kf_count += 1
         self.keyframe_fids.append(keyframe.fid)

@@ -13,11 +13,20 @@ neural_point_cloud.py). Structural mapping:
     raw2outputs_nerf_color2), points without >= min_nn_num neighbors get
     occ = -100 and rays whose samples all lack neighbors are masked.
 
-Round-1 simplifications (documented for parity work): no exposure MLP, no
-per-neighbor relative-position color encoding (decoder_pointslam.py:444-456)
-— the color net sees the fourier position + interpolated color feature;
-pretrained middle_fine.pt decoders load via utils.torch_convert when
-available, otherwise the decoders train from scratch.
+Feature parity notes:
+  * Dynamic radii (use_dynamic_radius, point_slam.py:339-366): per-pixel
+    Sobel color-gradient maps to per-ray query/add radii; the per-sample
+    query bound masks neighbor weights (decoder_pointslam.py:430-439).
+  * Per-neighbor relative-position color encoding
+    (decoder_pointslam.py:444-456): learnable Gaussian-Fourier rel-pos
+    (mapping 10, scale 32) concat neighbor feats -> MLP_col_neighbor
+    (softplus beta 100) before inverse-distance aggregation. Default on,
+    matching the reference.
+  * model_encode_exposure: accepted but a no-op — the reference wrapper
+    never wires it either (conv_onet_pointslam.py:188 "TODO: support
+    encode exposure").
+  * pretrained middle_fine.pt decoders load via utils.torch_convert when
+    available, otherwise the decoders train from scratch.
 """
 from __future__ import annotations
 
@@ -45,6 +54,21 @@ class ConvOnet2Config(ModelConfig):
     pointcloud_min_nn_num: int = 2
     pointcloud_radius_add: float = 0.04
     pointcloud_radius_query: float = 0.08
+    # dynamic radii (reference point_slam.py:51-56, default on :25)
+    use_dynamic_radius: bool = True
+    pointcloud_radius_add_max: float = 0.08
+    pointcloud_radius_add_min: float = 0.02
+    pointcloud_radius_query_ratio: int = 2
+    pointcloud_color_grad_threshold: float = 0.15
+    # neighbor weighting: 'distance' (1/D^2) or 'expweight' (e^{-20 d})
+    # (decoder_pointslam.py:433-438)
+    pointcloud_nn_weighting: str = "distance"
+    # per-neighbor rel-pos color encoding (decoder_pointslam.py:444-456)
+    model_encode_rel_pos_in_col: bool = True
+    # accepted for config parity; the reference leaves exposure unwired
+    # (conv_onet_pointslam.py:188 TODO)
+    model_encode_exposure: bool = False
+    model_exposure_dim: int = 8
     rendering_n_surface: int = 5
     rendering_near_end_surface: float = 0.98
     rendering_far_end_surface: float = 1.02
@@ -99,6 +123,19 @@ class ConvOnet2(Model):
             "color": {"feats": jax.random.normal(k2, (c.max_points, c.c_dim)) * 0.01},
             "decoder": {},
         }
+        if c.model_encode_rel_pos_in_col:
+            # learnable Gaussian-Fourier rel-pos embed + F_theta MLP
+            # (decoder_pointslam.py:137-140, 276-291)
+            k3, k4, k5 = jax.random.split(jax.random.fold_in(key, 7), 3)
+            hid = 128
+            xav = lambda kk, i, o: jax.random.uniform(  # noqa: E731
+                kk, (i, o), jnp.float32,
+                -np.sqrt(6.0 / (i + o)), np.sqrt(6.0 / (i + o)))
+            params["color"]["relpos_B"] = jax.random.normal(k3, (3, 10)) * 32.0
+            params["color"]["nb_w1"] = xav(k4, c.c_dim + 20, hid)
+            params["color"]["nb_b1"] = jnp.zeros((hid,))
+            params["color"]["nb_w2"] = xav(k5, hid, c.c_dim)
+            params["color"]["nb_b2"] = jnp.zeros((c.c_dim,))
         if not c.mapping_fix_geo_decoder or not self.pretrained_available:
             params["decoder"]["geo"] = self._init_geo
         if not c.mapping_fix_color_decoder:
@@ -114,39 +151,67 @@ class ConvOnet2(Model):
         return params["decoder"].get(name, self.frozen.get(name))
 
     # ------------------------------------------------------------------
-    def interp_features(self, feats_table, maps, pts, is_tracker: bool):
-        """kNN inverse-squared-distance interpolation
-        (decoder_pointslam.py:163-210). Returns (feat [N,C], has_nn [N])."""
+    def _max_query_radius(self) -> float:
         c = self.config
-        D2, I, n_valid = knn_query(maps, jax.lax.stop_gradient(pts), 2.0 * c.pointcloud_radius_query, k=c.pointcloud_nn_num)
+        if c.use_dynamic_radius:
+            return c.pointcloud_radius_query_ratio * c.pointcloud_radius_add_max
+        return c.pointcloud_radius_query
+
+    def interp_features(self, feats_table, maps, pts, is_tracker: bool,
+                        r_query=None, color_params=None):
+        """kNN weighted interpolation (decoder_pointslam.py:163-210,
+        405-456). Weighting: 'distance' 1/D^2 or 'expweight' e^{-20 d};
+        neighbors beyond the (per-point dynamic) query radius get weight 0.
+        When color_params is given, neighbor features pass through the
+        rel-pos F_theta MLP first (decoder:444-456).
+        Returns (feat [N,C], has_nn [N])."""
+        c = self.config
+        D2, I, n_valid = knn_query(maps, jax.lax.stop_gradient(pts), k=c.pointcloud_nn_num)
+        cpos = jnp.take(maps["pos"], I, axis=0)  # [N, k, 3]
         if is_tracker:
             # re-derive distances so pose gradients flow (decoder:181-186)
-            cpos = jnp.take(maps["pos"], I, axis=0)
             D2 = jnp.sum(jnp.square(cpos - pts[:, None, :]), -1)
-        w = 1.0 / (D2 + 1e-10)
-        w = jnp.where(D2 > c.pointcloud_radius_query**2, 0.0, w)
+        if c.pointcloud_nn_weighting == "expweight":
+            w = jnp.exp(-20.0 * jnp.sqrt(D2))
+        else:
+            w = 1.0 / (D2 + 1e-10)
+        bound = (r_query if r_query is not None
+                 else jnp.full(pts.shape[:1], c.pointcloud_radius_query))
+        w = jnp.where(D2 > jnp.square(bound)[:, None], 0.0, w)
         w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-10)
         nf = table_lookup(feats_table, I, self._use_opt)  # [N, k, C]
+        if color_params is not None and "relpos_B" in color_params:
+            rel = cpos - pts[:, None, :]  # [N, k, 3]
+            ang = (2.0 * jnp.pi * rel) @ color_params["relpos_B"]
+            emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)  # [N,k,20]
+            h = jnp.concatenate([emb, nf], -1) @ color_params["nb_w1"] + color_params["nb_b1"]
+            h = jax.nn.softplus(100.0 * h) / 100.0  # Softplus(beta=100)
+            nf = h @ color_params["nb_w2"] + color_params["nb_b2"]
         feat = jnp.sum(nf * w[..., None], axis=1)
         has_nn = n_valid >= c.pointcloud_min_nn_num
         return feat, has_nn
 
-    def query_raw(self, params, maps, pts: jnp.ndarray, stage: str, is_tracker: bool):
+    def query_raw(self, params, maps, pts: jnp.ndarray, stage: str,
+                  is_tracker: bool, r_query=None):
         """[N,3] -> (raw [N,4] (rgb, occ), point_mask [N])."""
         c = self.config
-        geo_feat, has_nn = self.interp_features(params["geometry"]["feats"], maps, pts, is_tracker)
+        geo_feat, has_nn = self.interp_features(
+            params["geometry"]["feats"], maps, pts, is_tracker, r_query)
         occ = mlp_decoder_apply(self._dec(params, "geo"), pts, geo_feat)[:, 0]
         occ = jnp.where(has_nn, occ, -100.0)
         if stage == "color":
-            col_feat, _ = self.interp_features(params["color"]["feats"], maps, pts, is_tracker)
+            cp = params["color"] if c.model_encode_rel_pos_in_col else None
+            col_feat, _ = self.interp_features(
+                params["color"]["feats"], maps, pts, is_tracker, r_query, cp)
             rgb = mlp_decoder_apply(self._dec(params, "col"), pts, col_feat)[:, :3]
         else:
             rgb = jnp.zeros((pts.shape[0], 3), pts.dtype)
         return jnp.concatenate([rgb, occ[:, None]], -1), has_nn
 
     # ------------------------------------------------------------------
-    def render_rays(self, params, maps, key, rays_o, rays_d, target_d, stage: str = "color", is_tracker: bool = False):
-        """reference: conv_onet_pointslam.py:311-461 (surface-only samples)."""
+    def render_rays(self, params, maps, key, rays_o, rays_d, target_d, stage: str = "color", is_tracker: bool = False, r_query=None):
+        """reference: conv_onet_pointslam.py:311-461 (surface-only samples).
+        r_query: optional per-ray dynamic query radius [N]."""
         c = self.config
         n = rays_o.shape[0]
         ns = c.rendering_n_surface
@@ -157,7 +222,10 @@ class ConvOnet2(Model):
         z_zero = jnp.broadcast_to(jnp.linspace(0.1, 1.0, ns)[None] * far, (n, ns))
         z_vals = jnp.where(gt > 0, z_pos, z_zero)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        raw, point_mask = self.query_raw(params, maps, pts.reshape(-1, 3), stage, is_tracker)
+        rq = None
+        if r_query is not None:
+            rq = jnp.broadcast_to(r_query[:, None], (n, ns)).reshape(-1)
+        raw, point_mask = self.query_raw(params, maps, pts.reshape(-1, 3), stage, is_tracker, rq)
         raw = raw.reshape(n, ns, 4)
         point_mask = point_mask.reshape(n, ns)
         # raw2outputs_nerf_color2 (utils.py:248-295): weight-sum normalized
@@ -174,10 +242,10 @@ class ConvOnet2(Model):
         return {"rgb": rgb_map, "depth": depth, "uncertainty": unc, "valid_ray_mask": valid_ray}
 
     # ------------------------------------------------------------------
-    def get_loss(self, params, maps, key, rays_o, rays_d, target_s, target_d, is_mapping: bool, stage: str, ray_mask=None):
+    def get_loss(self, params, maps, key, rays_o, rays_d, target_s, target_d, is_mapping: bool, stage: str, ray_mask=None, r_query=None):
         """reference: conv_onet_pointslam.py:144-195 (L1 sums)."""
         c = self.config
-        out = self.render_rays(params, maps, key, rays_o, rays_d, target_d, stage, is_tracker=not is_mapping)
+        out = self.render_rays(params, maps, key, rays_o, rays_d, target_d, stage, is_tracker=not is_mapping, r_query=r_query)
         td = target_d[:, 0]
         rm = ray_mask if ray_mask is not None else jnp.ones_like(td)
         depth = out["depth"]

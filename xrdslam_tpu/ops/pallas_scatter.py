@@ -33,21 +33,24 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_rows_padded: int, C: int):
-    step = pl.program_id(0)
+def _scatter_kernel(idx_ref, g_ref, out_ref, *, C: int, r_blk: int):
+    """Grid (row_blocks, in_blocks), in_blocks innermost so each output
+    row block stays VMEM-resident while all input blocks accumulate into
+    it (bounded VMEM at any table size)."""
+    rb = pl.program_id(0)
+    step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     per_row = 128 // C
-    s_rows = n_rows_padded // per_row
     e = idx_ref[:, 0]  # [B]
-    rows = e // per_row
+    rows = e // per_row - rb * r_blk  # relative to this output block
     group = e % per_row
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 128), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, s_rows), 1)
-    row_onehot = (row_iota == rows[:, None]).astype(jnp.bfloat16)  # [B, S]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, r_blk), 1)
+    row_onehot = (row_iota == rows[:, None]).astype(jnp.bfloat16)  # [B, Rb]
     # tile g [B, C] across the 8 lane groups, then mask to the right group
     g_tiled = pltpu.repeat(g_ref[...], per_row, axis=1)  # [B, 128]
     lane_mask = ((lane_iota // C) == group[:, None]).astype(jnp.float32)
@@ -70,16 +73,23 @@ def scatter_add_matmul(idx: jnp.ndarray, g: jnp.ndarray, num_rows: int) -> jnp.n
         # padded entries target row 0 with zero grads (harmless)
         idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)], 0)
         g = jnp.concatenate([g, jnp.zeros((pad, C), g.dtype)], 0)
+    r_blk = 2048  # output rows per VMEM-resident block (1 MB f32)
     n_rows_padded = _ceil_to(num_rows, per_row * 8)
     s_rows = n_rows_padded // per_row
+    if s_rows <= r_blk:
+        r_blk = s_rows
+        n_row_blocks = 1
+    else:
+        s_rows = _ceil_to(s_rows, r_blk)
+        n_row_blocks = s_rows // r_blk
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, n_rows_padded=n_rows_padded, C=C),
-        grid=(idx.shape[0] // BLK,),
+        functools.partial(_scatter_kernel, C=C, r_blk=r_blk),
+        grid=(n_row_blocks, idx.shape[0] // BLK),
         in_specs=[
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0)),
-            pl.BlockSpec((BLK, C), lambda i: (i, 0)),
+            pl.BlockSpec((BLK, 1), lambda r, i: (i, 0)),
+            pl.BlockSpec((BLK, C), lambda r, i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((s_rows, 128), lambda i: (0, 0)),
+        out_specs=pl.BlockSpec((r_blk, 128), lambda r, i: (r, 0)),
         out_shape=jax.ShapeDtypeStruct((s_rows, 128), jnp.float32),
     )(idx.astype(jnp.int32)[:, None], g.astype(jnp.float32))
     return out.reshape(-1, C)[:num_rows]

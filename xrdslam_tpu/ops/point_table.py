@@ -67,10 +67,13 @@ class PointMap:
         self.n_points += n
         return n
 
-    def neighbor_counts(self, pts: np.ndarray, radius: float) -> np.ndarray:
-        """Host query: number of stored points within radius of each pt."""
+    def neighbor_counts(self, pts: np.ndarray, radius) -> np.ndarray:
+        """Host query: number of stored points within radius of each pt.
+        ``radius`` may be a scalar or a per-point array (Point-SLAM's
+        dynamic r_add, reference point_slam.py:339-366)."""
         if self.n_points == 0:
             return np.zeros(len(pts), np.int64)
+        radius = np.broadcast_to(np.asarray(radius, np.float64), (len(pts),))
         counts = np.zeros(len(pts), np.int64)
         cells = np.floor(np.asarray(pts) / self.cell_size).astype(np.int64)
         for i, (c, p) in enumerate(zip(cells, pts)):
@@ -86,7 +89,7 @@ class PointMap:
                             if tuple(self.cell_keys[s]) == key:
                                 idx = self.cell_list[s, : self.cell_count[s]]
                                 d = np.linalg.norm(self.pos[idx] - p, axis=-1)
-                                counts[i] += int((d <= radius).sum())
+                                counts[i] += int((d <= radius[i]).sum())
                                 break
         return counts
 
@@ -97,18 +100,23 @@ class PointMap:
             "cell_list": jnp.asarray(self.cell_list),
             "cell_count": jnp.asarray(self.cell_count),
             "n_points": jnp.asarray(self.n_points, jnp.int32),
+            "cell_size": jnp.asarray(self.cell_size, jnp.float32),
         }
 
 
 def knn_query(
-    maps: Dict[str, jnp.ndarray], pts: jnp.ndarray, cell_size: float, k: int = 8, n_probes: int = 8
+    maps: Dict[str, jnp.ndarray], pts: jnp.ndarray, cell_size=None, k: int = 8, n_probes: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Device kNN: pts [N,3] -> (D2 [N,k], I [N,k], n_valid [N]).
 
     Searches the 2x2x2 cell block nearest the query point (cell size ==
     query radius x2 covers a radius-r ball); distances are squared (FAISS
-    convention, neural_point_cloud.py:223-282).
+    convention, neural_point_cloud.py:223-282). cell_size defaults to the
+    map's own (it MUST match the hashing grid; an override is only for
+    tests).
     """
+    if cell_size is None:
+        cell_size = maps["cell_size"]
     cap = maps["cell_keys"].shape[0]
     per_cell = maps["cell_list"].shape[1]
     base = jnp.floor(pts / cell_size - 0.5).astype(jnp.int64)
