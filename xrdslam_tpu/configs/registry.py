@@ -273,3 +273,29 @@ algorithm_configs["dpvo"] = RunnerConfig(
         enable_vis=False,
     ),
 )
+
+# --------------------------------------------------------------------------
+# neuralRecon (reference: input_config.py:455-493)
+# --------------------------------------------------------------------------
+from ..algorithms.neural_recon import NeuralReconConfig  # noqa: E402
+from ..models.neucon import NeuConModelConfig  # noqa: E402
+
+algorithm_configs["neuralRecon"] = RunnerConfig(
+    algorithm_name="neuralRecon",
+    xrdslam=SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=50, use_relative_pose=False, save_debug_result=False),
+        algorithm=NeuralReconConfig(
+            mapping_window_size=9,
+            max_depth=3.5,
+            c2w_offset=(0.0, 0.0, 1.5),
+            mesh_use_double=False,
+            model=NeuConModelConfig(
+                n_vox=96,
+                voxel_size=0.05,
+                pos_weight=1.5,
+                pretrained_path="pretrained/neural_recon/model_000047.ckpt",
+            ),
+        ),
+        enable_vis=False,
+    ),
+)
