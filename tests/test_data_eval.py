@@ -85,3 +85,69 @@ def test_frame_pose_roundtrip():
     _, color, depth, c2w = ds[1]
     f = Frame(1, color, depth, init_pose=c2w, gt_pose=c2w)
     np.testing.assert_allclose(f.get_pose(), c2w, atol=1e-3)
+
+
+def test_euroc_loader(tmp_path):
+    """EuRoC layout parse: yaml sensor configs, csv timestamps, gt pose
+    lookup with w-first quaternions, IMU windows."""
+    import os
+
+    from PIL import Image as PILImage
+
+    from xrdslam_tpu.common.datasets import Euroc
+
+    root = tmp_path
+    cam_dir = root / "mav0" / "cam0"
+    imu_dir = root / "mav0" / "imu0"
+    gt_dir = root / "mav0" / "state_groundtruth_estimate0"
+    (cam_dir / "data").mkdir(parents=True)
+    imu_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+
+    (cam_dir / "sensor.yaml").write_text(
+        "%YAML:1.0\n"
+        "resolution: [64, 48]\n"
+        "intrinsics: [60.0, 60.0, 32.0, 24.0]\n"
+        "T_BS:\n  data: [1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,0,1]\n"
+        "rate_hz: 20\n")
+    (imu_dir / "sensor.yaml").write_text(
+        "gyroscope_noise_density: 1.6968e-04\n"
+        "gyroscope_random_walk: 1.9393e-05\n"
+        "accelerometer_noise_density: 2.0e-3\n"
+        "accelerometer_random_walk: 3.0e-3\n"
+        "rate_hz: 200\n")
+    rows = ["#timestamp [ns],filename"]
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        ts = 1000000 + i * 50000
+        name = f"{ts}.png"
+        PILImage.fromarray(
+            (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)).save(
+            str(cam_dir / "data" / name))
+        rows.append(f"{ts},{name}")
+    (cam_dir / "data.csv").write_text("\n".join(rows) + "\n")
+
+    gt_rows = ["#ts,px,py,pz,qw,qx,qy,qz,..."]
+    for i in range(6):
+        ts = 1000000 + i * 25000
+        gt_rows.append(f"{ts},{0.1*i},0,0,1,0,0,0,0,0,0")
+    (gt_dir / "data.csv").write_text("\n".join(gt_rows) + "\n")
+
+    imu_rows = ["#ts,wx,wy,wz,ax,ay,az"]
+    for i in range(20):
+        ts = 1000000 + i * 5000
+        imu_rows.append(f"{ts},0.01,0,0,0,0,9.81")
+    (imu_dir / "data.csv").write_text("\n".join(imu_rows) + "\n")
+
+    ds = Euroc(str(root))
+    assert len(ds) == 3
+    assert ds.camera.width == 64 and ds.camera.height == 48
+    idx, rgb, depth, c2w = ds[1]
+    assert rgb.shape == (48, 64, 3) and depth.shape == (48, 64)
+    assert (depth == 0).all()  # monocular
+    # pose: translation x = 0.1 * 2 (nearest gt at the image timestamp),
+    # with the y/z camera-convention flip applied
+    assert np.isclose(c2w[0, 3], 0.2, atol=1e-6)
+    assert np.isclose(c2w[1, 1], -1.0)
+    imu = ds.get_imu_window(1000000, 1050000)
+    assert imu.shape == (11, 6)

@@ -74,3 +74,43 @@ def test_sample_mesh_points_on_surface():
     pts = sample_mesh_points(Mesh(verts, faces), 5000)
     radii = np.linalg.norm(pts, axis=1)
     np.testing.assert_allclose(radii.mean(), 0.7, atol=0.02)
+
+
+def test_clean_mesh_drops_small_components():
+    from xrdslam_tpu.utils.io import Mesh
+    from xrdslam_tpu.utils.mesh_ops import clean_mesh
+
+    # big component: a strip of 200 triangles; small: a single triangle
+    n = 202
+    verts = np.zeros((n + 3, 3), np.float32)
+    verts[:n, 0] = np.arange(n)
+    verts[:n, 1] = np.arange(n) % 2
+    faces = np.stack([np.arange(n - 2), np.arange(1, n - 1), np.arange(2, n)], -1)
+    verts[n:] = [[50, 50, 0], [51, 50, 0], [50, 51, 0]]
+    faces = np.concatenate([faces, [[n, n + 1, n + 2]]])
+    mesh = Mesh(vertices=verts, faces=faces.astype(np.int32))
+    out = clean_mesh(mesh, min_len=100)
+    assert len(out.vertices) == n
+    assert len(out.faces) == n - 2
+    assert out.faces.max() < len(out.vertices)
+
+
+def test_cull_mesh_removes_unseen_faces():
+    from xrdslam_tpu.common.synthetic import SyntheticDataset
+    from xrdslam_tpu.utils.io import Mesh
+    from xrdslam_tpu.utils.mesh_ops import cull_mesh
+
+    ds = SyntheticDataset(n_frames=2, height=48, width=64)
+    _, _, _, c2w = ds[0]
+    # triangle in front of camera 0 vs triangle far outside the room
+    fwd = c2w[:3, :3] @ np.array([0, 0, -1.0])
+    center = c2w[:3, 3] + fwd * 1.0
+    near = np.stack([center, center + [0.05, 0, 0], center + [0, 0.05, 0]])
+    up = c2w[:3, :3] @ np.array([0, 1.0, 0])
+    far = near + 500.0 * up  # far off-axis: outside every frustum
+    verts = np.concatenate([near, far]).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    out = cull_mesh(ds, Mesh(vertices=verts, faces=faces),
+                    estimate_c2w_list=[ds[i][3] for i in range(2)])
+    assert len(out.faces) == 1
+    assert np.allclose(out.vertices[:3], near, atol=1e-5)

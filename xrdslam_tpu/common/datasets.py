@@ -289,6 +289,128 @@ class TUM_RGBD(BaseDataset):
         return images, depths, poses
 
 
+
+
+class Euroc:
+    """EuRoC MAV monocular + IMU dataset (reference: datasets.py:170-330).
+
+    Layout: mav0/cam0/{sensor.yaml,data.csv,data/}, mav0/imu0/{sensor.yaml,
+    data.csv}, mav0/state_groundtruth_estimate0/data.csv. Returns
+    (idx, rgb, zero-depth, c2w) so the SLAM pipeline interface is uniform
+    (monocular algorithms like DPVO ignore depth); IMU windows are exposed
+    via get_imu_window(t0, t1).
+
+    Note: the EuRoC ground-truth orientation columns are (qw, qx, qy, qz);
+    they are converted with w-first quaternion math here (the reference
+    feeds them to scipy's x,y,z,w-ordered from_quat as-is —
+    datasets.py:321-328 — which silently permutes the rotation).
+    """
+
+    data_format = "MonoImu"
+
+    def __init__(self, data_path: str):
+        from ..ops import lie_np
+
+        self.input_folder = data_path
+        cam_cfg = self._read_yaml(os.path.join(data_path, "mav0/cam0/sensor.yaml"))
+        imu_cfg = self._read_yaml(os.path.join(data_path, "mav0/imu0/sensor.yaml"))
+
+        self.W, self.H = cam_cfg["resolution"]
+        fx, fy, cx, cy = cam_cfg["intrinsics"]
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.distortion = (np.array(cam_cfg["distortion_coefficients"])
+                           if "distortion_coefficients" in cam_cfg else None)
+        self.T_ic0 = np.array(cam_cfg["T_BS"]["data"]).reshape(4, 4)
+        self.gyro_n = imu_cfg["gyroscope_noise_density"]
+        self.gyro_rw = imu_cfg["gyroscope_random_walk"]
+        self.acc_n = imu_cfg["accelerometer_noise_density"]
+        self.acc_rw = imu_cfg["accelerometer_random_walk"]
+        self.imu_hz = imu_cfg["rate_hz"]
+
+        self.camera = Camera(fx=fx, fy=fy, cx=cx, cy=cy, height=self.H, width=self.W)
+        self._undistort = None
+        if self.distortion is not None:
+            # EuRoC cam0 is radial-tangential (k1, k2, p1, p2)
+            dist = np.zeros(5)
+            dist[:len(self.distortion)] = self.distortion
+            self._undistort = _undistort_map(self.H, self.W, fx, fy, cx, cy, dist)
+
+        # image timestamps + paths (mav0/cam0/data.csv)
+        self.img_timestamps: List[int] = []
+        self.color_paths: List[str] = []
+        csv_path = os.path.join(data_path, "mav0/cam0/data.csv")
+        with open(csv_path) as f:
+            next(f)
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 2:
+                    continue
+                self.img_timestamps.append(int(parts[0]))
+                self.color_paths.append(os.path.join(os.path.dirname(csv_path), "data", parts[1]))
+        self.n_img = len(self.color_paths)
+
+        # ground-truth states (imu-to-world)
+        self.gt_timestamps: List[int] = []
+        gt_poses = []
+        with open(os.path.join(data_path, "mav0/state_groundtruth_estimate0/data.csv")) as f:
+            next(f)
+            for line in f:
+                row = line.strip().split(",")
+                if len(row) < 8:
+                    continue
+                self.gt_timestamps.append(int(row[0]))
+                t = np.array([float(row[i]) for i in range(1, 4)])
+                q = np.array([float(row[i]) for i in range(4, 8)])  # w,x,y,z
+                gt_poses.append(lie_np.pose_matrix(t, q))
+        self._gt_ts = np.asarray(self.gt_timestamps)
+        self._gt_poses = gt_poses
+
+        # imu samples (t, gyro xyz, acc xyz)
+        self.imu_timestamps: List[int] = []
+        self.imu_datas: List[List[float]] = []
+        with open(os.path.join(data_path, "mav0/imu0/data.csv")) as f:
+            next(f)
+            for line in f:
+                row = line.strip().split(",")
+                if len(row) < 7:
+                    continue
+                self.imu_timestamps.append(int(row[0]))
+                self.imu_datas.append([float(row[i]) for i in range(1, 7)])
+        self._imu_ts = np.asarray(self.imu_timestamps)
+
+    def __len__(self) -> int:
+        return self.n_img
+
+    def _read_yaml(self, path: str):
+        with open(path) as f:
+            first = f.readline()
+            content = f.read() if first.startswith("%") else first + f.read()
+        return yaml.safe_load(content)
+
+    def _img_pose(self, t0: int) -> np.ndarray:
+        i = int(np.argmin(np.abs(self._gt_ts - t0)))
+        c2w = self._gt_poses[i] @ self.T_ic0
+        return _flip_yz(c2w)
+
+    def get_imu_window(self, t0: int, t1: int) -> np.ndarray:
+        """IMU samples (gyro, acc) with t0 <= t <= t1, [K, 6]."""
+        m = (self._imu_ts >= t0) & (self._imu_ts <= t1)
+        return np.asarray(self.imu_datas, np.float64)[m]
+
+    def __getitem__(self, index: int):
+        img = np.asarray(Image.open(self.color_paths[index]).convert("RGB")).astype(np.float32) / 255.0
+        if self._undistort is not None:
+            xs, ys = self._undistort
+            img = _bilinear_remap(img, xs, ys)
+        depth = np.zeros(img.shape[:2], np.float32)  # monocular
+        c2w = self._img_pose(self.img_timestamps[index])
+        return index, img, depth, c2w.astype(np.float32)
+
+    def get_camera(self) -> Camera:
+        return self.camera
+
+
+
 dataset_dict = {
     "replica": Replica,
     "scannet": ScanNet,
@@ -297,6 +419,7 @@ dataset_dict = {
     "tumrgbd": TUM_RGBD,
     "7scenes": Scenes7,
     "synthetic": SyntheticDataset,
+    "euroc": Euroc,
 }
 
 

@@ -156,7 +156,7 @@ class SLAMPipeline:
 
         self.save_eval_tar()
         if cfg_t.save_re_render_result:
-            self.save_final_mesh()
+            self.save_re_render_frames()
         algo.finished = True
 
     # ------------------------------------------------------------------
@@ -189,3 +189,50 @@ class SLAMPipeline:
         mesh = self.algorithm.get_mesh()
         if mesh is not None:
             mesh.export(os.path.join(self.out_dir, "mesh", "final_mesh_rec.ply"))
+
+    def save_re_render_frames(self) -> None:
+        """Post-run metric sweep (reference: tracker.py:343-420): re-render
+        every render_freq-th frame at the ESTIMATED pose, accumulate 2D
+        metrics (PSNR/SSIM/LPIPS/depth-L1), write eval_2d.json, export the
+        final mesh plus its frustum-culled eval variant."""
+        import json
+
+        from ..common import metrics as M
+
+        algo = self.algorithm
+        est = algo.estimate_c2w_list
+        freq = max(self.config.tracker.render_freq, 1)
+        sums = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0, "depth_l1": 0.0}
+        cnt = 0
+        for i in range(0, len(est), freq):
+            _, gt_rgb, gt_depth, _ = self.dataset[i]
+            color, depth = algo.render_img(np.asarray(est[i]), gt_depth=gt_depth, idx=i)
+            if color is None:
+                break
+            mask = gt_depth > 0
+            sums["psnr"] += M.psnr(color, gt_rgb, mask)
+            sums["ssim"] += M.ssim(color, gt_rgb)
+            sums["lpips"] += M.lpips(color, gt_rgb)
+            sums["depth_l1"] += M.depth_l1(depth, gt_depth, mask) * 100.0
+            cnt += 1
+            self.save_debug_results(i, gt_rgb, gt_depth, np.asarray(est[i]))
+        if cnt > 0:
+            avg = {k: v / cnt for k, v in sums.items()}
+            if not np.isfinite(avg["lpips"]):
+                avg["lpips"] = None  # lpips gated on pretrained weights
+            avg["frames"] = cnt
+            print(
+                f"[slam] re-render avg: psnr {avg['psnr']:.2f} dB, "
+                f"ssim {avg['ssim']:.3f}, depth_l1 {avg['depth_l1']:.2f} cm",
+                flush=True,
+            )
+            with open(os.path.join(self.out_dir, "eval_2d.json"), "w") as f:
+                json.dump(avg, f, indent=2)
+
+        mesh = self.algorithm.get_mesh()
+        if mesh is not None:
+            mesh.export(os.path.join(self.out_dir, "mesh", "final_mesh.ply"))
+            from ..utils.mesh_ops import cull_mesh
+
+            culled = cull_mesh(self.dataset, mesh, estimate_c2w_list=est, eval_rec=True)
+            culled.export(os.path.join(self.out_dir, "mesh", "final_mesh_rec.ply"))
