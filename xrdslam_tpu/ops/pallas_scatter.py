@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 512
+BLK = 256
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -73,7 +73,7 @@ def scatter_add_matmul(idx: jnp.ndarray, g: jnp.ndarray, num_rows: int) -> jnp.n
         # padded entries target row 0 with zero grads (harmless)
         idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)], 0)
         g = jnp.concatenate([g, jnp.zeros((pad, C), g.dtype)], 0)
-    r_blk = 2048  # output rows per VMEM-resident block (1 MB f32)
+    r_blk = 1024  # output rows per VMEM-resident block (0.5 MB f32)
     n_rows_padded = _ceil_to(num_rows, per_row * 8)
     s_rows = n_rows_padded // per_row
     if s_rows <= r_blk:

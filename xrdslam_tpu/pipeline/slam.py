@@ -123,7 +123,10 @@ class SLAMPipeline:
             frame = Frame(fid=i, rgb=rgb, depth=depth, init_pose=init_pose, gt_pose=gt_c2w, rot_rep=algo.config.rot_rep)
             frame.is_final_frame = i == n - 1
 
-            candidate = algo.do_tracking(frame)
+            from ..engine.profiling import phase_timer
+
+            with phase_timer("tracking"):
+                candidate = algo.do_tracking(frame)
             if candidate is not None and algo.is_initialized():
                 frame.set_pose(candidate)
             algo.add_framepose(frame.get_pose(), gt_c2w, gt_c2w_ori)
@@ -131,7 +134,8 @@ class SLAMPipeline:
             # mapping gate (reference: tracker.py:171-183)
             map_every = 1 if i <= cfg_t.lazy_start else cfg_t.map_every
             if map_every != -1 and (i % map_every == 0 or frame.is_final_frame):
-                algo.do_mapping(frame)
+                with phase_timer("mapping"):
+                    algo.do_mapping(frame)
                 algo.update_framepose(i, frame.get_pose())
                 if i % cfg_m.keyframe_every == 0:
                     algo.add_keyframe(frame)
@@ -155,6 +159,12 @@ class SLAMPipeline:
                 print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
 
         self.save_eval_tar()
+        from ..engine.profiling import timing_summary
+
+        with open(os.path.join(self.out_dir, "timings.json"), "w") as f:
+            import json
+
+            json.dump(timing_summary(), f, indent=2)
         if cfg_t.save_re_render_result:
             self.save_re_render_frames()
         algo.finished = True
