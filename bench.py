@@ -12,10 +12,16 @@ vs_baseline: the reference publishes no FPS (SURVEY.md §6). Baseline is
 REF_FPS=5.0 — the original Co-SLAM paper's reported ~5 Hz tracking on an
 RTX 3090; XRDSLAM's manager-IPC pipeline is slower than that, so this is a
 conservative (reference-favoring) denominator.
+
+Encoding default: 'triplane' (ops/triplane.py — the TPU-native scene
+encoding: 2.21 fps / ATE 2.66 cm vs hash-grid parity mode 1.38 fps /
+2.62 cm on this bench). Set XRDSLAM_BENCH_ENCODING=hash for the
+reference-parity hash-grid path.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -66,7 +72,10 @@ def main() -> None:
             marching_cubes_bound=bound,
             max_keyframes=max(N_FRAMES // 5 + 2, 8),
             mesher=MesherConfig(resolution=128),
-            model=JointEncodingConfig(),
+            model=JointEncodingConfig(
+                encoding=os.environ.get("XRDSLAM_BENCH_ENCODING", "triplane"),
+                triplane_features=tuple(int(v) for v in os.environ.get(
+                    "XRDSLAM_BENCH_TP_FEATURES", "8,8").split(","))),
             optimizers=opts,
         ),
     )
@@ -97,6 +106,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "coslam_track_map_fps_replica_office0_scale",
+                "encoding": os.environ.get("XRDSLAM_BENCH_ENCODING", "triplane"),
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / REF_FPS, 3),

@@ -43,6 +43,10 @@ class SplaTAMConfig(AlgorithmConfig):
     mapping_sil_thres: float = 0.5
     render_mode: str = "color"
     max_keyframes: int = 512
+    # config parity with the reference (gaussian_splatting.py:53-59); the
+    # reference ships this OFF and we warn+ignore if enabled (clone/split
+    # densification is a planned round-2 item)
+    mapping_use_gaussian_splatting_densification: bool = False
     seed: int = 0
 
 
@@ -56,6 +60,10 @@ class SplaTAM(Algorithm):
         super().__init__(config, camera)
         self.model = config.model.setup(camera=camera, bounding_box=None)
         self.bundle_adjust = False
+        if config.mapping_use_gaussian_splatting_densification:
+            print("[splatam] WARNING: gaussian-splatting densification is "
+                  "not implemented yet (the reference ships it disabled); "
+                  "ignoring the flag", flush=True)
         self._key = jax.random.PRNGKey(config.seed)
         self.params = self.model.init_params(self._next_key())
         self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}

@@ -39,6 +39,11 @@ class JointEncodingConfig(ModelConfig):
     hashsize: int = 16
     oneGrid: bool = True
     fast_encoder: bool = True
+    # scene encoding: 'hash' (reference tcnn HashGrid parity) or 'triplane'
+    # (TPU-native fast path, ops/triplane.py — ~2x mapping, ~2x tracking)
+    encoding: str = "hash"
+    triplane_resolutions: Tuple[int, ...] = (128, 512)
+    triplane_features: Tuple[int, ...] = (8, 8)
     # decoder
     geo_feat_dim: int = 15
     hidden_dim: int = 32
@@ -97,7 +102,14 @@ class JointEncoding(Model):
                 base_resolution=c.base_resolution,
                 finest_resolution=self.resolution_color,
             )
-        self.input_ch = self.spec.out_dim  # 32
+        if c.encoding == "triplane":
+            from ..ops.triplane import triplane_spec
+
+            self.tp_spec = triplane_spec(c.triplane_resolutions, c.triplane_features)
+            self.input_ch = self.tp_spec.out_dim
+        else:
+            self.tp_spec = None
+            self.input_ch = self.spec.out_dim  # 32
         self.input_ch_pos = 3 * c.pos_nbins  # 48
         self._bound = jnp.asarray(self.bounding_box)
         # optimized encode (feature-major fwd + Pallas matmul-scatter bwd)
@@ -109,6 +121,12 @@ class JointEncoding(Model):
         )
 
     def _encode(self, table, x, spec):
+        if self.tp_spec is not None:
+            from ..ops.triplane import triplane_encode
+
+            flat = x.reshape(-1, 3)
+            out = triplane_encode(table, flat, self.tp_spec)
+            return out.reshape(x.shape[:-1] + (self.tp_spec.out_dim,))
         from ..ops import hashgrid_fast
 
         return hashgrid_fast.encode(table, x, spec, use_opt=self._use_fast)
@@ -125,8 +143,14 @@ class JointEncoding(Model):
         sdf_dims = [sdf_in] + [c.hidden_dim] * (c.num_layers - 1) + [1 + c.geo_feat_dim]
         color_in = (self.input_ch_pos if c.oneGrid else self.input_ch_pos + self.spec_color.out_dim) + c.geo_feat_dim
         color_dims = [color_in] + [c.hidden_dim_color] * (c.num_layers_color - 1) + [3]
+        if self.tp_spec is not None:
+            from ..ops.triplane import triplane_init
+
+            table = triplane_init(k1, self.tp_spec)
+        else:
+            table = encodings.hashgrid_init(k1, self.spec)
         params: Dict[str, Any] = {
-            "embed_fn": {"table": encodings.hashgrid_init(k1, self.spec)},
+            "embed_fn": {"table": table},
             "decoder": {"sdf": mlp.mlp_init(k2, sdf_dims), "color": mlp.mlp_init(k3, color_dims)},
         }
         if not c.oneGrid:
