@@ -132,8 +132,13 @@ class BaseDataset:
     def _read_depth(self, path: str) -> np.ndarray:
         if path.endswith(".png"):
             d = np.asarray(Image.open(path)).astype(np.float32)
+        elif path.endswith(".exr"):
+            # CoFusion depth (reference reads via cv2's EXR backend)
+            from ..utils.exr import read_exr_depth
+
+            d = read_exr_depth(path)
         else:
-            raise NotImplementedError(f"depth format not supported without OpenEXR: {path}")
+            raise NotImplementedError(f"unsupported depth format: {path}")
         return d / self.png_depth_scale
 
     def __getitem__(self, index: int):
