@@ -86,11 +86,10 @@ def _gather_corners(plane, u0, v0):
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     base = u0 * R + v0
-    f00 = jnp.take(flat, base, axis=0)
-    f01 = jnp.take(flat, base + 1, axis=0)
-    f10 = jnp.take(flat, base + R, axis=0)
-    f11 = jnp.take(flat, base + R + 1, axis=0)
-    return f00, f01, f10, f11  # [N, C] each
+    # one batched gather for all 4 corners (amortizes per-op overhead)
+    idx = jnp.concatenate([base, base + 1, base + R, base + R + 1])
+    f = jnp.take(flat, idx, axis=0).reshape(4, -1, C)
+    return f[0], f[1], f[2], f[3]  # [N, C] each
 
 
 def _bilerp_cm(corners, fu, fv):
