@@ -75,7 +75,9 @@ def main() -> None:
             model=JointEncodingConfig(
                 encoding=os.environ.get("XRDSLAM_BENCH_ENCODING", "triplane"),
                 triplane_features=tuple(int(v) for v in os.environ.get(
-                    "XRDSLAM_BENCH_TP_FEATURES", "8,8").split(","))),
+                    "XRDSLAM_BENCH_TP_FEATURES", "8,8").split(",")),
+                triplane_resolutions=tuple(int(v) for v in os.environ.get(
+                    "XRDSLAM_BENCH_TP_RES", "128,512").split(","))),
             optimizers=opts,
         ),
     )

@@ -272,8 +272,21 @@ class JointEncoding(Model):
 
     def smoothness(self, params, key: jax.Array) -> jnp.ndarray:
         """TV regularizer on hash features over a random sub-grid
-        (reference: joint_encoding.py:165-197)."""
+        (reference: joint_encoding.py:165-197).
+
+        Triplane mode evaluates TV directly on the feature planes instead
+        of sampling a 31^3 point grid — same regularization intent at
+        ~1/100 the cost (the grid sample exists only because hash tables
+        aren't spatially indexable; planes are)."""
         c = self.config
+        if self.tp_spec is not None:
+            tv = 0.0
+            for s in range(len(self.tp_spec.resolutions)):
+                P = params["embed_fn"]["table"][f"s{s}"]
+                n = P.shape[1]
+                tv = tv + (jnp.sum(jnp.square(P[:, 1:] - P[:, :-1]))
+                           + jnp.sum(jnp.square(P[:, :, 1:] - P[:, :, :-1]))) / n
+            return tv
         g = c.trainging_smooth_pts - 1
         vox = c.trainging_smooth_vox
         b = self._bound
