@@ -43,6 +43,23 @@ elif which == "splatam":
                 "tracking_pose_r": {"optimizer": A(lr=0.0004), "scheduler": None},
                 "tracking_pose_t": {"optimizer": A(lr=0.002), "scheduler": None},
             }))
+elif which == "dpvo":
+    from xrdslam_tpu.algorithms.dpvo import DPVOConfig
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=-1, render_freq=-1, save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=100),
+        algorithm=DPVOConfig(patch_per_frame=16, patch_lifetime=5, init_frame_num=4,
+            optimization_window=6, removal_window=8, keyframe_index=2, keyframe_thresh=0.01,
+            buffer_size=64, mem=16, edge_chunk=512, motion_init_thresh=0.0))
+elif which == "neucon":
+    from xrdslam_tpu.algorithms.neural_recon import NeuralReconConfig
+    from xrdslam_tpu.models.neucon import NeuConModelConfig
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=-1, use_relative_pose=False, save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=100),
+        algorithm=NeuralReconConfig(mapping_window_size=3, min_angle=0.0, min_distance=0.0,
+            max_depth=3.0, img_size_w=160, img_size_h=112,
+            model=NeuConModelConfig(n_vox=48, voxel_size=0.1)))
 else:
     from xrdslam_tpu.algorithms.point_slam import PointSLAMConfig
     from xrdslam_tpu.engine.schedulers import PointSLAMSchedulerConfig as S
@@ -69,3 +86,5 @@ pipe.run()
 res = evaluate_ate(pipe.algorithm.gt_c2w_list, pipe.algorithm.estimate_c2w_list)
 steady = np.mean(pipe.frame_times[3:]) if len(pipe.frame_times) > 3 else np.mean(pipe.frame_times)
 print(f"[{which}] TPU: total {time.time()-t0:.0f}s, steady {1.0/steady:.2f} fps, ATE {res['rmse']*100:.2f} cm")
+
+# appended algorithms: dpvo / neucon (run: python tools/tpu_smoke.py dpvo)
