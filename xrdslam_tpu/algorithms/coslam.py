@@ -294,14 +294,16 @@ class CoSLAM(Algorithm):
     def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
         if not self.is_initialized():
             return None
-        rgb = jnp.asarray(cur_frame.rgb)
-        depth = jnp.asarray(cur_frame.depth)
+        rgb = cur_frame.rgb_jax()
+        depth = cur_frame.depth_jax()
         t0 = jnp.asarray(cur_frame.t)
         r0 = jnp.asarray(cur_frame.r)
         best_t, best_r, best_loss = self._track_step(self.model_params, rgb, depth, t0, r0, self._next_key())
         from ..ops import lie_np
 
-        return lie_np.pose_vec_to_matrix(np.asarray(best_t), np.asarray(best_r), rot_rep="axis_angle")
+        # one round trip for both pose components (axon sync ~30 ms each)
+        bt, br = jax.device_get((best_t, best_r))
+        return lie_np.pose_vec_to_matrix(bt, br, rot_rep="axis_angle")
 
     def do_mapping(self, cur_frame: Frame) -> None:
         first = not self.is_initialized()
@@ -313,15 +315,14 @@ class CoSLAM(Algorithm):
             self.kf_pose_t,
             self.kf_pose_r,
             jnp.asarray(self.kf_count, jnp.int32),
-            jnp.asarray(cur_frame.rgb),
-            jnp.asarray(cur_frame.depth),
+            cur_frame.rgb_jax(),
+            cur_frame.depth_jax(),
             jnp.asarray(cur_frame.t),
             jnp.asarray(cur_frame.r),
             self._next_key(),
         )
         self.model_params, self.model_opt_state, self.kf_pose_t, self.kf_pose_r, cur_t, cur_r, _ = out
-        cur_frame.t = np.asarray(cur_t)
-        cur_frame.r = np.asarray(cur_r)
+        cur_frame.t, cur_frame.r = jax.device_get((cur_t, cur_r))
         if first:
             self.set_initialized()
 
@@ -329,7 +330,7 @@ class CoSLAM(Algorithm):
         if self.kf_count >= self.max_kf:
             raise RuntimeError(f"keyframe capacity {self.max_kf} exceeded; raise max_keyframes")
         slot = self.kf_count
-        self.kf_rays = self._add_kf(self.kf_rays, jnp.asarray(keyframe.rgb), jnp.asarray(keyframe.depth), slot, self._next_key())
+        self.kf_rays = self._add_kf(self.kf_rays, keyframe.rgb_jax(), keyframe.depth_jax(), slot, self._next_key())
         self.kf_pose_t = self.kf_pose_t.at[slot].set(jnp.asarray(keyframe.t))
         self.kf_pose_r = self.kf_pose_r.at[slot].set(jnp.asarray(keyframe.r))
         self.kf_count += 1

@@ -292,7 +292,7 @@ class NiceSLAM(Algorithm):
             return None
         pose0 = jnp.concatenate([jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r)])
         best_pose, _ = self._track_step(
-            self.model_params, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth), pose0, self._next_key()
+            self.model_params, cur_frame.rgb_jax(), cur_frame.depth_jax(), pose0, self._next_key()
         )
         from ..ops import lie_np
 
@@ -390,7 +390,7 @@ class NiceSLAM(Algorithm):
 
     def _gather_window(self, slots: List[int], cur_frame: Frame, cur_pose: np.ndarray):
         cur_img = jnp.concatenate(
-            [jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth)[..., None]], -1
+            [cur_frame.rgb_jax(), cur_frame.depth_jax()[..., None]], -1
         )[None]
         if slots:
             idx = jnp.asarray(slots, jnp.int32)
@@ -405,7 +405,7 @@ class NiceSLAM(Algorithm):
         if self.kf_count >= self.max_kf:
             raise RuntimeError(f"keyframe capacity {self.max_kf} exceeded; raise max_keyframes")
         slot = self.kf_count
-        rgbd = jnp.concatenate([jnp.asarray(keyframe.rgb), jnp.asarray(keyframe.depth)[..., None]], -1)
+        rgbd = jnp.concatenate([keyframe.rgb_jax(), keyframe.depth_jax()[..., None]], -1)
         self.kf_images = self.kf_images.at[slot].set(rgbd)
         self.kf_pose = self.kf_pose.at[slot].set(jnp.concatenate([jnp.asarray(keyframe.t), jnp.asarray(keyframe.r)]))
         self.kf_count += 1

@@ -176,10 +176,11 @@ class SplaTAM(Algorithm):
             self._track_variants[sig] = jax.jit(functools.partial(self._track_step_raw, ntx=sig[0], nty=sig[1]))
         alive = self.model.alive_mask(self.params)
         bt, bq, _ = self._track_variants[sig](
-            self.params, alive, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth),
+            self.params, alive, cur_frame.rgb_jax(), cur_frame.depth_jax(),
             t0, q0, jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), self._next_key(),
         )
-        return lie_np.pose_vec_to_matrix(np.asarray(bt), np.asarray(bq), rot_rep="quat")
+        bt_np, bq_np = jax.device_get((bt, bq))
+        return lie_np.pose_vec_to_matrix(bt_np, bq_np, rot_rep="quat")
 
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config

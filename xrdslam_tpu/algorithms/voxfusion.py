@@ -225,12 +225,13 @@ class VoxFusion(Algorithm):
         if not self.is_initialized():
             return None
         best_t, best_r, _ = self._track_step(
-            self.model_params, self.maps, jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth),
+            self.model_params, self.maps, cur_frame.rgb_jax(), cur_frame.depth_jax(),
             jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r), self._next_key(),
         )
         from ..ops import lie_np
 
-        return lie_np.pose_vec_to_matrix(np.asarray(best_t), np.asarray(best_r), rot_rep="axis_angle")
+        bt, br = jax.device_get((best_t, best_r))
+        return lie_np.pose_vec_to_matrix(bt, br, rot_rep="axis_angle")
 
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config
@@ -246,7 +247,7 @@ class VoxFusion(Algorithm):
             rng = np.random.default_rng(int(self._next_key()[0]))
             slots = sorted(int(s) for s in rng.permutation(self.kf_count - 1)[: k - 1]) + [self.kf_count - 1]
         cur_pose = np.concatenate([cur_frame.t, cur_frame.r]).astype(np.float32)
-        cur_img = jnp.concatenate([jnp.asarray(cur_frame.rgb), jnp.asarray(cur_frame.depth)[..., None]], -1)[None]
+        cur_img = jnp.concatenate([cur_frame.rgb_jax(), cur_frame.depth_jax()[..., None]], -1)[None]
         if slots:
             idx = jnp.asarray(slots, jnp.int32)
             images = jnp.concatenate([self.kf_images[idx], cur_img], 0)
@@ -274,7 +275,7 @@ class VoxFusion(Algorithm):
         if self.kf_count >= self.config.max_keyframes:
             raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
         slot = self.kf_count
-        rgbd = jnp.concatenate([jnp.asarray(keyframe.rgb), jnp.asarray(keyframe.depth)[..., None]], -1)
+        rgbd = jnp.concatenate([keyframe.rgb_jax(), keyframe.depth_jax()[..., None]], -1)
         self.kf_images = self.kf_images.at[slot].set(rgbd)
         self.kf_pose = self.kf_pose.at[slot].set(jnp.concatenate([jnp.asarray(keyframe.t), jnp.asarray(keyframe.r)]))
         self.kf_count += 1

@@ -38,8 +38,31 @@ class Frame:
             self.h, self.w = rgb.shape[0], rgb.shape[1]
         self.t: Optional[np.ndarray] = None
         self.r: Optional[np.ndarray] = None
+        self._rgb_dev = None
+        self._depth_dev = None
         if init_pose is not None:
             self.set_pose(np.asarray(init_pose, np.float32), check=True)
+
+    # device-array caches: the pipeline prefetches the next frame's images
+    # onto the TPU while the current frame's programs run (the host->device
+    # copy over the axon tunnel costs ~30 ms otherwise)
+    def rgb_jax(self):
+        if self._rgb_dev is None:
+            import jax.numpy as jnp
+
+            self._rgb_dev = jnp.asarray(self.rgb)
+        return self._rgb_dev
+
+    def depth_jax(self):
+        if self._depth_dev is None:
+            import jax.numpy as jnp
+
+            self._depth_dev = jnp.asarray(self.depth)
+        return self._depth_dev
+
+    def prefetch_device(self) -> None:
+        self.rgb_jax()
+        self.depth_jax()
 
     def set_pose(self, c2w: np.ndarray, check: bool = False) -> None:
         self.t, self.r = lie.matrix_to_pose_vec(np.asarray(c2w, np.float32), rot_rep=self.rot_rep)

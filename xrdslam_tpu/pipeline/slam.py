@@ -105,8 +105,14 @@ class SLAMPipeline:
 
             start = load_checkpoint(ckpt_path, algo) + 1
             print(f"[slam] resumed from {ckpt_path} at frame {start}", flush=True)
+        pending = None  # prefetched (i, rgb, depth, gt, rgb_dev, depth_dev)
         for i in range(start, n):
-            idx, rgb, depth, gt_c2w = self.dataset[i]
+            if pending is not None and pending[0] == i:
+                _, rgb, depth, gt_c2w, rgb_dev, depth_dev = pending
+            else:
+                _, rgb, depth, gt_c2w = self.dataset[i]
+                rgb_dev = depth_dev = None
+            pending = None
             gt_c2w_ori = gt_c2w.copy()
             if cfg_t.use_relative_pose:
                 if i == 0:
@@ -122,6 +128,8 @@ class SLAMPipeline:
             init_pose = self.predict_current_pose(i, gt_c2w)
             frame = Frame(fid=i, rgb=rgb, depth=depth, init_pose=init_pose, gt_pose=gt_c2w, rot_rep=algo.config.rot_rep)
             frame.is_final_frame = i == n - 1
+            if rgb_dev is not None:
+                frame._rgb_dev, frame._depth_dev = rgb_dev, depth_dev
 
             from ..engine.profiling import phase_timer
 
@@ -139,6 +147,14 @@ class SLAMPipeline:
                 algo.update_framepose(i, frame.get_pose())
                 if i % cfg_m.keyframe_every == 0:
                     algo.add_keyframe(frame)
+            # prefetch the next frame's images onto the device while the
+            # current frame's (async-dispatched) programs drain
+            if i + 1 < n:
+                import jax.numpy as jnp
+
+                _, nrgb, ndepth, ngt = self.dataset[i + 1]
+                pending = (i + 1, nrgb, ndepth, ngt,
+                           jnp.asarray(nrgb), jnp.asarray(ndepth))
             self.frame_times.append(time.time() - t0)
 
             if (
