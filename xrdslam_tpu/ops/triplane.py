@@ -115,17 +115,20 @@ def _encode_fwd(tables, x, spec):
 
 def _splat_plane(A, B, g):
     """dP[r, c, k] = sum_n A[n,r] B[n,c] g[n,k] as k MXU matmuls
-    (scatter-free plane gradient). A/B [N, R] bf16, g [N, C]."""
+    (scatter-free plane gradient). A/B [N, R], g [N, C].
+
+    The k loop is UNROLLED in Python (C is small and static): lax.map
+    lowers to a while loop that serializes the matmuls and costs ~60 ms
+    per mapping step on v5e; unrolled, XLA pipelines them freely."""
     Bb = B.astype(jnp.bfloat16)
-
-    def one_k(gk):
-        Ag = (A * gk[:, None]).astype(jnp.bfloat16)  # [N, R]
-        return jax.lax.dot_general(
-            Ag, Bb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [R, R]
-
-    dP = jax.lax.map(one_k, jnp.moveaxis(g, -1, 0))  # [C, R, R]
-    return jnp.moveaxis(dP, 0, -1)
+    C = g.shape[-1]
+    dP = [
+        jax.lax.dot_general(
+            (A * g[:, k:k + 1]).astype(jnp.bfloat16), Bb,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        for k in range(C)
+    ]
+    return jnp.stack(dP, -1)  # [R, R, C]
 
 
 def _dense_weights(u0, fu, R):
