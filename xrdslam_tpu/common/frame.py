@@ -50,7 +50,10 @@ class Frame:
         if self._rgb_dev is None:
             import jax.numpy as jnp
 
-            self._rgb_dev = jnp.asarray(self.rgb)
+            # ship uint8 (source images are 8-bit), convert on device:
+            # 3x less tunnel traffic per frame
+            q = (np.clip(self.rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            self._rgb_dev = jnp.asarray(q).astype(jnp.float32) / 255.0
         return self._rgb_dev
 
     def depth_jax(self):
