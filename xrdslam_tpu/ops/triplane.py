@@ -114,14 +114,15 @@ def _encode_fwd(tables, x, spec):
 
 
 def _splat_plane(A, B, g):
-    """dP[r, c, k] = sum_n A[n,r] B[n,c] g[n,k] as k MXU matmuls
-    (scatter-free plane gradient). A/B [N, R], g [N, C].
+    """dP[r, c, k] = sum_n A[n,r] B[n,c] g[n,k] as unrolled bf16 MXU
+    matmuls (scatter-free plane gradient). A/B [N, R], g [N, C].
 
-    The k loop is UNROLLED in Python (C is small and static): lax.map
-    lowers to a while loop that serializes the matmuls and costs ~60 ms
-    per mapping step on v5e; unrolled, XLA pipelines them freely."""
-    Bb = B.astype(jnp.bfloat16)
+    Notes from tuning: lax.map over k lowers to a serializing while loop
+    (~60 ms/step); a VMEM-resident Pallas accumulator kernel was tried and
+    is 40x SLOWER (the read-modify-write accumulator serializes the MXU).
+    Unrolled independent matmuls are the fast form — XLA pipelines them."""
     C = g.shape[-1]
+    Bb = B.astype(jnp.bfloat16)
     dP = [
         jax.lax.dot_general(
             (A * g[:, k:k + 1]).astype(jnp.bfloat16), Bb,
