@@ -50,10 +50,11 @@ class Frame:
         if self._rgb_dev is None:
             import jax.numpy as jnp
 
-            # ship uint8 (source images are 8-bit), convert on device:
-            # 3x less tunnel traffic per frame
-            q = (np.clip(self.rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-            self._rgb_dev = jnp.asarray(q).astype(jnp.float32) / 255.0
+            # ship uint16 (lossless for 8-bit sources, 1/4000 quantization
+            # for float-rendered ones), convert on device: 2x less tunnel
+            # traffic than f32 per frame
+            q = (np.clip(self.rgb, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
+            self._rgb_dev = jnp.asarray(q).astype(jnp.float32) / 65535.0
         return self._rgb_dev
 
     def depth_jax(self):
