@@ -81,6 +81,16 @@ class Algorithm:
         self.initialized = True
 
     # -- to implement -----------------------------------------------------
+    def dispatch_tracking(self, cur_frame: Frame):
+        """Optional two-phase tracking: launch the device program and
+        return a handle for finish_tracking (lets the pipeline overlap
+        host work with tracking compute). Default: NotImplemented ->
+        the pipeline calls the synchronous do_tracking."""
+        return NotImplemented
+
+    def finish_tracking(self, handle) -> Optional[np.ndarray]:
+        return None
+
     def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
         raise NotImplementedError
 

@@ -291,19 +291,27 @@ class CoSLAM(Algorithm):
     # ------------------------------------------------------------------
     # host API (called by the pipeline)
     # ------------------------------------------------------------------
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+    def dispatch_tracking(self, cur_frame: Frame):
         if not self.is_initialized():
             return None
         rgb = cur_frame.rgb_jax()
         depth = cur_frame.depth_jax()
         t0 = jnp.asarray(cur_frame.t)
         r0 = jnp.asarray(cur_frame.r)
-        best_t, best_r, best_loss = self._track_step(self.model_params, rgb, depth, t0, r0, self._next_key())
+        best_t, best_r, _ = self._track_step(self.model_params, rgb, depth, t0, r0, self._next_key())
+        return (best_t, best_r)
+
+    def finish_tracking(self, handle) -> Optional[np.ndarray]:
+        if handle is None:
+            return None
         from ..ops import lie_np
 
         # one round trip for both pose components (axon sync ~30 ms each)
-        bt, br = jax.device_get((best_t, best_r))
+        bt, br = jax.device_get(handle)
         return lie_np.pose_vec_to_matrix(bt, br, rot_rep="axis_angle")
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        return self.finish_tracking(self.dispatch_tracking(cur_frame))
 
     def do_mapping(self, cur_frame: Frame) -> None:
         first = not self.is_initialized()

@@ -134,7 +134,19 @@ class SLAMPipeline:
             from ..engine.profiling import phase_timer
 
             with phase_timer("tracking"):
-                candidate = algo.do_tracking(frame)
+                handle = algo.dispatch_tracking(frame)
+                if handle is NotImplemented:
+                    candidate = algo.do_tracking(frame)
+                else:
+                    # overlap the next frame's image prefetch with the
+                    # in-flight tracking program before fetching the pose
+                    if i + 1 < n:
+                        import jax.numpy as jnp
+
+                        _, nrgb, ndepth, ngt = self.dataset[i + 1]
+                        pending = (i + 1, nrgb, ndepth, ngt,
+                                   jnp.asarray(nrgb), jnp.asarray(ndepth))
+                    candidate = algo.finish_tracking(handle)
             if candidate is not None and algo.is_initialized():
                 frame.set_pose(candidate)
             algo.add_framepose(frame.get_pose(), gt_c2w, gt_c2w_ori)
@@ -148,8 +160,9 @@ class SLAMPipeline:
                 if i % cfg_m.keyframe_every == 0:
                     algo.add_keyframe(frame)
             # prefetch the next frame's images onto the device while the
-            # current frame's (async-dispatched) programs drain
-            if i + 1 < n:
+            # current frame's (async-dispatched) programs drain (no-op if
+            # the two-phase tracking path already prefetched)
+            if i + 1 < n and pending is None:
                 import jax.numpy as jnp
 
                 _, nrgb, ndepth, ngt = self.dataset[i + 1]
