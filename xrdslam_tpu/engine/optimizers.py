@@ -38,11 +38,14 @@ class OptimizerConfig(PrintableConfig):
     max_norm: Optional[float] = None
     accum_step: Optional[int] = None
 
+    def _scaler(self) -> optax.GradientTransformation:
+        return optax.scale_by_adam(b1=self.betas[0], b2=self.betas[1], eps=self.eps)
+
     def build(self, schedule: Optional[ScheduleFn] = None) -> optax.GradientTransformation:
         chain = []
         if self.max_norm is not None:
             chain.append(optax.clip_by_global_norm(self.max_norm))
-        chain.append(optax.scale_by_adam(b1=self.betas[0], b2=self.betas[1], eps=self.eps))
+        chain.append(self._scaler())
         if self.weight_decay:
             chain.append(optax.add_decayed_weights(self.weight_decay))
         if schedule is not None:
@@ -58,6 +61,16 @@ class OptimizerConfig(PrintableConfig):
 @dataclass
 class AdamOptimizerConfig(OptimizerConfig):
     """Alias kept for config-surface parity with the reference."""
+
+
+@dataclass
+class RAdamOptimizerConfig(OptimizerConfig):
+    """RAdam (reference: slam/engine/optimizers.py:55-60) via optax."""
+
+    def _scaler(self) -> optax.GradientTransformation:
+        from optax._src.transform import scale_by_radam
+
+        return scale_by_radam(b1=self.betas[0], b2=self.betas[1], eps=self.eps)
 
 
 def _tree_zeros_like(tree):
