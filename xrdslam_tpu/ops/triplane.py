@@ -1,26 +1,39 @@
 """Tri-plane (TensoRF-VM style) scene encoding — the TPU-native fast path.
 
-Motivation (measured, tools/profile_mapping.py): the instant-NGP hash
-encoding is RANDOM-GATHER bound on TPU — 16 levels x 8 corners = 128
-gathered rows per sample at ~2.8 ns/row dominates both directions (63 ms
-forward at office0 mapping scale), and the table-gradient one-hot matmul
-costs FLOPs proportional to entries x table size. GPUs hide this with
-hardware gather units; the TPU answer is to change the representation:
+Motivation (measured, tools/profile_r2.py + tools/bench_splat_gather.py):
+the instant-NGP hash encoding is RANDOM-GATHER bound on TPU, and even the
+tri-plane's natural lowering leaves two costs on the table:
 
-  * 3 orthogonal feature planes per scale: feature(x) = concat over planes
-    of bilinear(P_ab, x_a, x_b). Forward needs 3 x 4 = 12 gathered rows per
-    sample (10x fewer than hash).
-  * The plane gradient factorizes through the bilinear weights:
-        dP[r, c, k] = sum_n A[n, r] * B[n, c] * g[n, k]
-    with A/B the (2-nonzero) row/col bilinear weight vectors stored DENSE.
-    Evaluated as C matmuls (A * g_k)^T @ B on the MXU — NO scatter at all,
-    FLOPs = 2 N R^2 C per plane (~2.5 TFLOP at office0 scale, ~15 ms)
-    versus the hash dtable's ~6 TFLOP one-hot scatter.
+  * Gather count. XLA gather on this chip has a large per-ROW cost with a
+    strongly sublinear per-byte cost (4 rows of 8 floats cost ~1.8x ONE row
+    of 32 floats — tools/bench_splat_gather.py). So each plane stores a
+    PACKED 2x2 corner patch per cell, [R*R, 4C]: one gathered row yields
+    all four bilinear corners. Packing is a cheap dense rebuild
+    (concat of rolls, ~100 MB of sequential HBM traffic) done inside the
+    encode; the gathered corners are saved as VJP residuals so the backward
+    pass re-gathers nothing.
+  * Table gradients. The round-1 scatter-free one-hot matmul costs
+    2*N*R^2*C FLOPs (~12 ms/plane at mapping scale); a plain 4-corner
+    scatter-add costs 4 scattered rows per point. The MOMENT TRICK cuts it
+    to ONE scattered row per point: scatter [g, fu*g, fv*g, fu*fv*g]
+    (4C channels) into the point's BASE cell only, then reconstruct the
+    true 2x2 bilinear splat with a constant 2x2 "deconvolution" of the
+    moment field — exact in exact arithmetic because the corner weights
+    are bilinear polynomials in (fu, fv):
+        (1-fu)(1-fv) = m00 - m10 - m01 + m11   at the base cell
+        fu(1-fv)     = m10 - m11               shifted +1 row
+        (1-fu)fv     = m01 - m11               shifted +1 col
+        fu*fv        = m11                     shifted +1 row+col
+    Measured: 1.8 ms vs 11.7 ms per 512-plane at 176k points
+    (tools/bench_splat_gather.py B3 vs B0). Scatter tables are kept at
+    their exact R*R size — XLA scatter cost grows with table size, so
+    pooling planes into one scatter is a large loss (130 ms pooled vs
+    ~8 ms as six per-plane ops).
 
 This is a deviation from the reference's tcnn HashGrid (offered as
-``JointEncodingConfig.encoding = 'triplane'``; default stays 'hash' for
-parity). Quality characteristics match the tri-plane literature: smoother
-low-rank bias, same O(1) query.
+``JointEncodingConfig.encoding = 'triplane'``; 'hash' remains for parity).
+Quality characteristics match the tri-plane literature: smoother low-rank
+bias, same O(1) query.
 """
 from __future__ import annotations
 
@@ -29,7 +42,6 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _PLANES = ((0, 1), (0, 2), (1, 2))
 
@@ -64,11 +76,10 @@ def _plane_uv(x, a, b, R):
 
 
 def _good_rows(r: int) -> int:
-    """XLA gather throughput on v5e is wildly non-monotonic in operand row
-    count (measured, tools/gather_bench*.py): <= 8192 rows ~2000 ns/row
-    (pathological lowering), 2^18 rows 12.8 ns/row and 2^18+2^13 37.9,
-    while 16384-131072, 9*2^14, 9*2^15 and >= 2^19 all run at ~4-5 ns/row.
-    Pad the flattened plane to the nearest fast size."""
+    """XLA gather throughput is non-monotonic in operand row count
+    (measured, tools/gather_bench*.py): <= 8192 rows and 2^18 rows are
+    pathological; 16384-131072, 9*2^14/9*2^15 and >= 2^19 run fast. Pad
+    the flattened plane to the nearest fast size."""
     if r < 16384:
         return 16384
     if r == 262144:
@@ -76,24 +87,32 @@ def _good_rows(r: int) -> int:
     return r
 
 
-def _gather_corners(plane, u0, v0):
-    """plane [R, R, C]; returns f00, f01, f10, f11 each [N, C].
-    Rows are 32-64 B contiguous; the flat table is padded to a
-    fast-gather row count (see _good_rows)."""
-    R, _, C = plane.shape
-    flat = plane.reshape(R * R, C)
+def _pack_patch(plane):
+    """[R, R, C] -> [rows_padded, 4C] where row (u0*R + v0) holds the 2x2
+    corner patch [P(u0,v0) | P(u0,v0+1) | P(u0+1,v0) | P(u0+1,v0+1)].
+    The wrap rows/cols introduced by roll are never gathered (u0,v0 <= R-2).
+    """
+    R = plane.shape[0]
+    p01 = jnp.roll(plane, -1, axis=1)
+    p10 = jnp.roll(plane, -1, axis=0)
+    p11 = jnp.roll(p10, -1, axis=1)
+    packed = jnp.concatenate([plane, p01, p10, p11], -1).reshape(R * R, -1)
     pad = _good_rows(R * R) - R * R
     if pad:
-        flat = jnp.pad(flat, ((0, pad), (0, 0)))
-    base = u0 * R + v0
-    # one batched gather for all 4 corners (amortizes per-op overhead)
-    idx = jnp.concatenate([base, base + 1, base + R, base + R + 1])
-    f = jnp.take(flat, idx, axis=0).reshape(4, -1, C)
-    return f[0], f[1], f[2], f[3]  # [N, C] each
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    return packed
 
 
-def _bilerp_cm(corners, fu, fv):
-    """Weighted corner sum -> [N, C]."""
+def _gather_corners(plane, u0, v0):
+    """plane [R, R, C] -> (f00, f01, f10, f11) each [N, C] via ONE gather
+    of packed 2x2 patch rows."""
+    R, _, C = plane.shape
+    packed = _pack_patch(plane)
+    f = jnp.take(packed, u0 * R + v0, axis=0)  # [N, 4C]
+    return f[:, :C], f[:, C:2 * C], f[:, 2 * C:3 * C], f[:, 3 * C:]
+
+
+def _bilerp(corners, fu, fv):
     f00, f01, f10, f11 = corners
     w00 = ((1 - fu) * (1 - fv))[:, None]
     w01 = ((1 - fu) * fv)[:, None]
@@ -102,41 +121,37 @@ def _bilerp_cm(corners, fu, fv):
     return f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
 
 
-def _encode_fwd(tables, x, spec):
+def _encode_fwd(tables, x, spec, want_res: bool = False):
     outs = []
+    res_corners = []
     for s, (R, C) in enumerate(zip(spec.resolutions, spec.n_features)):
         planes = tables[f"s{s}"]
         for p, (a, b) in enumerate(_PLANES):
             _, _, u0, v0, fu, fv = _plane_uv(x, a, b, R)
             corners = _gather_corners(planes[p], u0, v0)
-            outs.append(_bilerp_cm(corners, fu, fv))
-    return jnp.concatenate(outs, -1)
+            if want_res:
+                res_corners.append(corners)
+            outs.append(_bilerp(corners, fu, fv))
+    out = jnp.concatenate(outs, -1)
+    if want_res:
+        return out, res_corners
+    return out
 
 
-def _splat_plane(A, B, g):
-    """dP[r, c, k] = sum_n A[n,r] B[n,c] g[n,k] as unrolled bf16 MXU
-    matmuls (scatter-free plane gradient). A/B [N, R], g [N, C].
-
-    Notes from tuning: lax.map over k lowers to a serializing while loop
-    (~60 ms/step); a VMEM-resident Pallas accumulator kernel was tried and
-    is 40x SLOWER (the read-modify-write accumulator serializes the MXU).
-    Unrolled independent matmuls are the fast form — XLA pipelines them."""
+def _splat_moment(u0, v0, fu, fv, g, R):
+    """Exact bilinear table gradient via base-cell moment scatter + 2x2
+    deconvolution (see module docstring). g [N, C] -> dP [R, R, C]."""
     C = g.shape[-1]
-    Bb = B.astype(jnp.bfloat16)
-    dP = [
-        jax.lax.dot_general(
-            (A * g[:, k:k + 1]).astype(jnp.bfloat16), Bb,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        for k in range(C)
-    ]
-    return jnp.stack(dP, -1)  # [R, R, C]
-
-
-def _dense_weights(u0, fu, R):
-    """Dense [N, R] bilinear row weights: (1-fu) at u0, fu at u0+1."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (u0.shape[0], R), 1)
-    return ((iota == u0[:, None]) * (1 - fu[:, None])
-            + (iota == u0[:, None] + 1) * fu[:, None])
+    m = jnp.concatenate(
+        [g, g * fu[:, None], g * fv[:, None], g * (fu * fv)[:, None]], -1)
+    M = jax.ops.segment_sum(m, u0 * R + v0, num_segments=R * R)
+    M = M.reshape(R, R, 4, C)
+    m00, m10, m01, m11 = M[:, :, 0], M[:, :, 1], M[:, :, 2], M[:, :, 3]
+    d = m00 - m10 - m01 + m11
+    d = d + jnp.pad((m10 - m11)[:-1], ((1, 0), (0, 0), (0, 0)))
+    d = d + jnp.pad((m01 - m11)[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    d = d + jnp.pad(m11[:-1, :-1], ((1, 0), (1, 0), (0, 0)))
+    return d
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -146,29 +161,26 @@ def triplane_encode(tables, x, spec: TriplaneSpec):
 
 
 def _tp_fwd(tables, x, spec):
-    return _encode_fwd(tables, x, spec), (tables, x)
+    out, corners = _encode_fwd(tables, x, spec, want_res=True)
+    return out, (x, corners)
 
 
 def _tp_bwd(spec, res, g):
-    tables, x = res
-    n = x.shape[0]
+    x, corners = res
     dtables = {}
     dx = jnp.zeros_like(x)
     off = 0
+    ci = 0
     for s, (R, C) in enumerate(zip(spec.resolutions, spec.n_features)):
-        planes = tables[f"s{s}"]
         dplanes = []
         for p, (a, b) in enumerate(_PLANES):
             gk = g[:, off:off + C]
             off += C
             _, _, u0, v0, fu, fv = _plane_uv(x, a, b, R)
-            # plane gradient: CP-factored matmuls (no scatter)
-            A = _dense_weights(u0, fu, R)
-            B = _dense_weights(v0, fv, R)
-            dplanes.append(_splat_plane(A, B, gk))
-            # position gradient: analytic bilinear derivative (re-gather,
-            # 4 rows/plane — cheap)
-            f00, f01, f10, f11 = _gather_corners(planes[p], u0, v0)
+            dplanes.append(_splat_moment(u0, v0, fu, fv, gk, R))
+            # position gradient from the saved forward corners (no regather)
+            f00, f01, f10, f11 = corners[ci]
+            ci += 1
             dfu = (f10 - f00) * (1 - fv)[:, None] + (f11 - f01) * fv[:, None]
             dfv = (f01 - f00) * (1 - fu)[:, None] + (f11 - f10) * fu[:, None]
             scale = R - 1.0
