@@ -96,8 +96,9 @@ def main() -> None:
     pipeline.run()
     total = time.time() - t_start
 
-    # steady-state fps: drop the first 6 frames (compile + first mapping)
-    times = pipeline.frame_times[6:]
+    # steady-state fps: drop the first 15 frames (compile of the first-map,
+    # per-frame track/map, and fused super-group programs)
+    times = pipeline.frame_times[15:]
     fps = 1.0 / max(np.mean(times), 1e-9)
     ate = evaluate_ate(list(np.asarray(ds.poses)), pipeline.algorithm.estimate_c2w_list)
     print(

@@ -253,6 +253,9 @@ class CoSLAM(Algorithm):
 
         self._map_step = jax.jit(functools.partial(map_step, n_iters=cfg.mapping_n_iters, first=False))
         self._map_step_first = jax.jit(functools.partial(map_step, n_iters=cfg.mapping_first_n_iters, first=True))
+        self._track_fn = track_step  # unjitted, composed into the super-step
+        self._map_fn = functools.partial(map_step, n_iters=cfg.mapping_n_iters, first=False)
+        self._super_steps: Dict[Tuple[int, bool], Any] = {}
 
         # ---------------- keyframe insertion ---------------------------
         def add_kf(kf_rays, rgb, depth, slot, key):
@@ -265,6 +268,7 @@ class CoSLAM(Algorithm):
             return kf_rays.at[slot].set(jnp.concatenate([d, c, z], -1))
 
         self._add_kf = jax.jit(add_kf, donate_argnums=(0,))
+        self._add_kf_fn = add_kf  # unjitted, composed into the super-step
 
         # ---------------- rendering ------------------------------------
         def render_chunk(model_params, rays_o, rays_d, target_d, key):
@@ -333,6 +337,108 @@ class CoSLAM(Algorithm):
         cur_frame.t, cur_frame.r = jax.device_get((cur_t, cur_r))
         if first:
             self.set_initialized()
+
+    # ------------------------------------------------------------------
+    # fused super-step: one device program per map_every-frame group
+    # ------------------------------------------------------------------
+    def _get_super_step(self, group: int, do_kf: bool):
+        """Compile (once per (group, do_kf)) a program that runs
+        track(head) -> map(head) -> [kf insert] -> track(head+1..head+G-1)
+        entirely on device. Removes the per-frame dispatch + pose-fetch
+        round trips (~30-40 ms each over the remote-device tunnel) that
+        dominated the per-frame pipeline; semantics match the reference's
+        alternating order exactly (reference: slam/pipeline/tracker.py:
+        152-183 + mapper.py:24-46 — the tracker blocks on the mapper for
+        mapped frames, so the serialization below is the reference's own).
+        Constant-velocity prediction runs on device (tracker.py:185-199).
+        """
+        key_ = (group, do_kf)
+        if key_ in self._super_steps:
+            return self._super_steps[key_]
+        track_fn, map_fn, add_kf_fn = self._track_fn, self._map_fn, self._add_kf_fn
+
+        def predict(t1, r1, t2, r2):
+            # delta = P1 @ inv(P2); pred = delta @ P1 (tracker.py:185-199)
+            R1 = lie.axis_angle_to_matrix(r1)
+            R2 = lie.axis_angle_to_matrix(r2)
+            dR = R1 @ R2.T
+            dt = t1 - dR @ t2
+            Rp = dR @ R1
+            tp = dR @ t1 + dt
+            return tp, lie.matrix_to_axis_angle(Rp)
+
+        def super_step(model_params, model_opt_state, kf_rays, kf_pose_t,
+                       kf_pose_r, kf_count, rgbs, depths, prev_t, prev_r,
+                       prev2_t, prev2_r, key, kf_slot):
+            keys = jax.random.split(key, group + 2)
+            # head frame: track, map (pose writeback), optional kf insert
+            t0p, r0p = predict(prev_t, prev_r, prev2_t, prev2_r)
+            bt, br, bl0 = track_fn(model_params, rgbs[0], depths[0], t0p, r0p, keys[0])
+            out = map_fn(model_params, model_opt_state, kf_rays, kf_pose_t,
+                         kf_pose_r, kf_count, rgbs[0], depths[0], bt, br, keys[group])
+            model_params, model_opt_state, kf_pose_t, kf_pose_r, cur_t, cur_r, _ = out
+            if do_kf:
+                kf_rays = add_kf_fn(kf_rays, rgbs[0], depths[0], kf_slot, keys[group + 1])
+                kf_pose_t = kf_pose_t.at[kf_slot].set(cur_t)
+                kf_pose_r = kf_pose_r.at[kf_slot].set(cur_r)
+            # trailing frames: one scanned tracking body (compiles once,
+            # not group-1 times)
+            def tail_body(carry, xs):
+                (p1t, p1r, p2t, p2r) = carry
+                rgb_j, depth_j, key_j = xs
+                tp, rp = predict(p1t, p1r, p2t, p2r)
+                bt, br, bl = track_fn(model_params, rgb_j, depth_j, tp, rp, key_j)
+                return (bt, br, p1t, p1r), (bt, br, bl)
+
+            carry0 = (cur_t, cur_r, prev_t, prev_r)
+            _, (tail_t, tail_r, tail_l) = jax.lax.scan(
+                tail_body, carry0, (rgbs[1:], depths[1:], keys[1:group]))
+            poses_t = jnp.concatenate([cur_t[None], tail_t], 0)
+            poses_r = jnp.concatenate([cur_r[None], tail_r], 0)
+            losses = jnp.concatenate([bl0[None], tail_l], 0)
+            return (model_params, model_opt_state, kf_rays, kf_pose_t, kf_pose_r,
+                    poses_t, poses_r, losses)
+
+        fn = jax.jit(super_step)
+        self._super_steps[key_] = fn
+        return fn
+
+    def dispatch_superstep(self, frames: List[Frame], do_kf: bool,
+                           prev_c2w: np.ndarray, prev2_c2w: np.ndarray):
+        """Launch the fused group program (async). Requires is_initialized().
+        frames[0] is the group head (gets the mapping step)."""
+        from ..ops import lie_np
+
+        group = len(frames)
+        fn = self._get_super_step(group, do_kf)
+        rgbs = jnp.stack([f.rgb_jax() for f in frames])
+        depths = jnp.stack([f.depth_jax() for f in frames])
+        t1, r1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="axis_angle")
+        t2, r2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="axis_angle")
+        out = fn(
+            self.model_params, self.model_opt_state, self.kf_rays,
+            self.kf_pose_t, self.kf_pose_r, jnp.asarray(self.kf_count, jnp.int32),
+            rgbs, depths, jnp.asarray(t1), jnp.asarray(r1), jnp.asarray(t2),
+            jnp.asarray(r2), self._next_key(), jnp.asarray(self.kf_count, jnp.int32),
+        )
+        (self.model_params, self.model_opt_state, self.kf_rays,
+         self.kf_pose_t, self.kf_pose_r, poses_t, poses_r, losses) = out
+        if do_kf:
+            if self.kf_count >= self.max_kf:
+                raise RuntimeError(f"keyframe capacity {self.max_kf} exceeded; raise max_keyframes")
+            self.kf_count += 1
+            self.keyframe_fids.append(frames[0].fid)
+        return (poses_t, poses_r)
+
+    def finish_superstep(self, handle) -> List[np.ndarray]:
+        """One pose fetch for the whole group -> list of c2w matrices."""
+        from ..ops import lie_np
+
+        pt, pr = jax.device_get(handle)
+        return [
+            lie_np.pose_vec_to_matrix(pt[j], pr[j], rot_rep="axis_angle")
+            for j in range(pt.shape[0])
+        ]
 
     def add_keyframe(self, keyframe: Frame) -> None:
         if self.kf_count >= self.max_kf:

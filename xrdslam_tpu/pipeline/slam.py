@@ -92,101 +92,196 @@ class SLAMPipeline:
         return pred
 
     # ------------------------------------------------------------------
+    def _load_frame(self, i: int):
+        """(rgb, depth, gt, rgb_dev|None, depth_dev|None), consuming the
+        prefetch cache."""
+        hit = self._pending.pop(i, None)
+        if hit is not None:
+            return hit
+        _, rgb, depth, gt_c2w = self.dataset[i]
+        return rgb, depth, gt_c2w, None, None
+
+    def _prefetch_frame(self, i: int) -> None:
+        if i in self._pending or i >= len(self.dataset):
+            return
+        import jax.numpy as jnp
+
+        _, rgb, depth, gt = self.dataset[i]
+        self._pending[i] = (rgb, depth, gt, jnp.asarray(rgb), jnp.asarray(depth))
+
+    def _gt_transform(self, i: int, gt_c2w: np.ndarray):
+        """Relative-pose remap (reference: tracker.py:60-73). Returns
+        (gt_for_init, gt_ori)."""
+        cfg_t = self.config.tracker
+        gt_c2w_ori = gt_c2w.copy()
+        if cfg_t.use_relative_pose:
+            if i == 0:
+                self._first_pose_old = gt_c2w.copy()
+                gt_c2w = np.eye(4, dtype=np.float32)
+                gt_c2w[:3, 3] += cfg_t.init_pose_offset
+                self._first_pose_new = gt_c2w.copy()
+            else:
+                delta = np.linalg.inv(self._first_pose_old) @ gt_c2w
+                gt_c2w = (self._first_pose_new @ delta).astype(np.float32)
+        return gt_c2w, gt_c2w_ori
+
     def run(self, resume: bool = False) -> None:
         cfg_t = self.config.tracker
         cfg_m = self.config.mapper
         algo = self.algorithm
         n = len(self.dataset)
-        first_pose_old = first_pose_new = None
+        self._first_pose_old = self._first_pose_new = None
+        self._pending = {}
         start = 0
-        ckpt_path = os.path.join(self.out_dir, "checkpoint.pkl")
-        if resume and os.path.exists(ckpt_path):
+        self._ckpt_path = os.path.join(self.out_dir, "checkpoint.pkl")
+        if resume and os.path.exists(self._ckpt_path):
             from ..engine.checkpoint import load_checkpoint
 
-            start = load_checkpoint(ckpt_path, algo) + 1
-            print(f"[slam] resumed from {ckpt_path} at frame {start}", flush=True)
-        pending = None  # prefetched (i, rgb, depth, gt, rgb_dev, depth_dev)
-        for i in range(start, n):
-            if pending is not None and pending[0] == i:
-                _, rgb, depth, gt_c2w, rgb_dev, depth_dev = pending
-            else:
-                _, rgb, depth, gt_c2w = self.dataset[i]
-                rgb_dev = depth_dev = None
-            pending = None
-            gt_c2w_ori = gt_c2w.copy()
-            if cfg_t.use_relative_pose:
-                if i == 0:
-                    first_pose_old = gt_c2w.copy()
-                    gt_c2w = np.eye(4, dtype=np.float32)
-                    gt_c2w[:3, 3] += cfg_t.init_pose_offset
-                    first_pose_new = gt_c2w.copy()
-                else:
-                    delta = np.linalg.inv(first_pose_old) @ gt_c2w
-                    gt_c2w = (first_pose_new @ delta).astype(np.float32)
+            start = load_checkpoint(self._ckpt_path, algo) + 1
+            print(f"[slam] resumed from {self._ckpt_path} at frame {start}", flush=True)
 
-            t0 = time.time()
-            init_pose = self.predict_current_pose(i, gt_c2w)
-            frame = Frame(fid=i, rgb=rgb, depth=depth, init_pose=init_pose, gt_pose=gt_c2w, rot_rep=algo.config.rot_rep)
-            frame.is_final_frame = i == n - 1
-            if rgb_dev is not None:
-                frame._rgb_dev, frame._depth_dev = rgb_dev, depth_dev
+        # fused group fast path: one device program per map_every frames
+        # (track head -> map head -> kf -> track rest), one pose fetch per
+        # group. Usable when the group structure is static and no per-frame
+        # host consumer needs intermediate results; warmup frames, the
+        # final group (forced final-frame mapping), and off-cycle frames
+        # fall back to the per-frame path.
+        group = cfg_t.map_every
+        use_super = (
+            group > 1
+            and hasattr(algo, "dispatch_superstep")
+            and cfg_t.lazy_start < 0
+            and not (cfg_t.save_debug_result and cfg_t.render_freq > 0)
+            and cfg_m.keyframe_every % group == 0
+        )
 
-            from ..engine.profiling import phase_timer
-
-            with phase_timer("tracking"):
-                handle = algo.dispatch_tracking(frame)
-                if handle is NotImplemented:
-                    candidate = algo.do_tracking(frame)
-                else:
-                    # overlap the next frame's image prefetch with the
-                    # in-flight tracking program before fetching the pose
-                    if i + 1 < n:
-                        import jax.numpy as jnp
-
-                        _, nrgb, ndepth, ngt = self.dataset[i + 1]
-                        pending = (i + 1, nrgb, ndepth, ngt,
-                                   jnp.asarray(nrgb), jnp.asarray(ndepth))
-                    candidate = algo.finish_tracking(handle)
-            if candidate is not None and algo.is_initialized():
-                frame.set_pose(candidate)
-            algo.add_framepose(frame.get_pose(), gt_c2w, gt_c2w_ori)
-
-            # mapping gate (reference: tracker.py:171-183)
-            map_every = 1 if i <= cfg_t.lazy_start else cfg_t.map_every
-            if map_every != -1 and (i % map_every == 0 or frame.is_final_frame):
-                with phase_timer("mapping"):
-                    algo.do_mapping(frame)
-                algo.update_framepose(i, frame.get_pose())
-                if i % cfg_m.keyframe_every == 0:
-                    algo.add_keyframe(frame)
-            # prefetch the next frame's images onto the device while the
-            # current frame's (async-dispatched) programs drain (no-op if
-            # the two-phase tracking path already prefetched)
-            if i + 1 < n and pending is None:
-                import jax.numpy as jnp
-
-                _, nrgb, ndepth, ngt = self.dataset[i + 1]
-                pending = (i + 1, nrgb, ndepth, ngt,
-                           jnp.asarray(nrgb), jnp.asarray(ndepth))
-            self.frame_times.append(time.time() - t0)
-
+        i = start
+        while i < n:
             if (
-                cfg_t.save_debug_result
+                use_super
+                and i % group == 0
+                # >= 2*group (not just >= 2): the first per-frame group
+                # compiles the track/map programs, so warmup cost doesn't
+                # land mid-run when the tail frames need them again
+                and i >= 2 * group
+                and i + group < n
                 and algo.is_initialized()
-                and cfg_t.render_freq > 0
-                and (i % cfg_t.render_freq == 0 or frame.is_final_frame)
             ):
-                self.save_debug_results(i, rgb, depth, frame.get_pose())
+                i = self._super_group(i, n, group)
+            else:
+                self._frame_step(i, n)
+                i += 1
+        self._finish_run()
 
-            if cfg_t.checkpoint_every > 0 and (i % cfg_t.checkpoint_every == 0 or frame.is_final_frame):
-                from ..engine.checkpoint import save_checkpoint
+    # ------------------------------------------------------------------
+    def _super_group(self, i: int, n: int, group: int) -> int:
+        """Run frames [i, i+group) as one fused device program."""
+        algo = self.algorithm
+        cfg_t = self.config.tracker
+        cfg_m = self.config.mapper
+        t0 = time.time()
+        gts = []
+        frames = []
+        for j in range(i, i + group):
+            rgb, depth, gt, rgb_dev, depth_dev = self._load_frame(j)
+            gt, gt_ori = self._gt_transform(j, gt)
+            gts.append((gt, gt_ori))
+            fr = Frame(fid=j, rgb=rgb, depth=depth, rot_rep=algo.config.rot_rep)
+            if rgb_dev is not None:
+                fr._rgb_dev, fr._depth_dev = rgb_dev, depth_dev
+            frames.append(fr)
 
-                save_checkpoint(ckpt_path, algo, i)
+        from ..engine.profiling import phase_timer
 
-            if self.verbose and (i % 20 == 0 or frame.is_final_frame):
-                fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
-                print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
+        with phase_timer("super_group"):
+            est = algo.estimate_c2w_list
+            do_kf = i % cfg_m.keyframe_every == 0
+            handle = algo.dispatch_superstep(frames, do_kf, est[i - 1], est[i - 2])
+            # overlap next group's host decode + device upload with the
+            # in-flight program, then pay ONE pose-fetch round trip
+            for j in range(i + group, min(i + 2 * group, n)):
+                self._prefetch_frame(j)
+            poses = algo.finish_superstep(handle)
+        for j, c2w in enumerate(poses):
+            algo.add_framepose(c2w, gts[j][0], gts[j][1])
+        dt = (time.time() - t0) / group
+        self.frame_times.extend([dt] * group)
 
+        if cfg_t.checkpoint_every > 0 and any(
+            (i + j) % cfg_t.checkpoint_every == 0 for j in range(group)
+        ):
+            from ..engine.checkpoint import save_checkpoint
+
+            save_checkpoint(self._ckpt_path, algo, i + group - 1)
+        if self.verbose and (i // group) % 4 == 0:
+            fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
+            print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
+        return i + group
+
+    # ------------------------------------------------------------------
+    def _frame_step(self, i: int, n: int) -> None:
+        cfg_t = self.config.tracker
+        cfg_m = self.config.mapper
+        algo = self.algorithm
+        rgb, depth, gt_c2w, rgb_dev, depth_dev = self._load_frame(i)
+        gt_c2w, gt_c2w_ori = self._gt_transform(i, gt_c2w)
+
+        t0 = time.time()
+        init_pose = self.predict_current_pose(i, gt_c2w)
+        frame = Frame(fid=i, rgb=rgb, depth=depth, init_pose=init_pose, gt_pose=gt_c2w, rot_rep=algo.config.rot_rep)
+        frame.is_final_frame = i == n - 1
+        if rgb_dev is not None:
+            frame._rgb_dev, frame._depth_dev = rgb_dev, depth_dev
+
+        from ..engine.profiling import phase_timer
+
+        with phase_timer("tracking"):
+            handle = algo.dispatch_tracking(frame)
+            if handle is NotImplemented:
+                candidate = algo.do_tracking(frame)
+            else:
+                # overlap the next frame's image prefetch with the
+                # in-flight track program before fetching the pose
+                self._prefetch_frame(i + 1)
+                candidate = algo.finish_tracking(handle)
+        if candidate is not None and algo.is_initialized():
+            frame.set_pose(candidate)
+        algo.add_framepose(frame.get_pose(), gt_c2w, gt_c2w_ori)
+
+        # mapping gate (reference: tracker.py:171-183)
+        map_every = 1 if i <= cfg_t.lazy_start else cfg_t.map_every
+        if map_every != -1 and (i % map_every == 0 or frame.is_final_frame):
+            with phase_timer("mapping"):
+                algo.do_mapping(frame)
+            algo.update_framepose(i, frame.get_pose())
+            if i % cfg_m.keyframe_every == 0:
+                algo.add_keyframe(frame)
+        # prefetch the next frame's images onto the device while the
+        # current frame's (async-dispatched) programs drain (no-op if
+        # the two-phase tracking path already prefetched)
+        if i + 1 < n:
+            self._prefetch_frame(i + 1)
+        self.frame_times.append(time.time() - t0)
+
+        if (
+            cfg_t.save_debug_result
+            and algo.is_initialized()
+            and cfg_t.render_freq > 0
+            and (i % cfg_t.render_freq == 0 or frame.is_final_frame)
+        ):
+            self.save_debug_results(i, rgb, depth, frame.get_pose())
+
+        if cfg_t.checkpoint_every > 0 and (i % cfg_t.checkpoint_every == 0 or frame.is_final_frame):
+            from ..engine.checkpoint import save_checkpoint
+
+            save_checkpoint(self._ckpt_path, algo, i)
+
+        if self.verbose and (i % 20 == 0 or frame.is_final_frame):
+            fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
+            print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
+
+    # ------------------------------------------------------------------
+    def _finish_run(self) -> None:
         self.save_eval_tar()
         from ..engine.profiling import timing_summary
 
@@ -194,9 +289,9 @@ class SLAMPipeline:
             import json
 
             json.dump(timing_summary(), f, indent=2)
-        if cfg_t.save_re_render_result:
+        if self.config.tracker.save_re_render_result:
             self.save_re_render_frames()
-        algo.finished = True
+        self.algorithm.finished = True
 
     # ------------------------------------------------------------------
     def save_debug_results(self, idx: int, gt_rgb, gt_depth, c2w) -> None:
