@@ -39,8 +39,10 @@ def test_triplane_forward_matches_reference():
 
 
 def test_triplane_table_grad_matches_autodiff():
-    """The CP-matmul splat must equal the gradient of the naive forward."""
-    from xrdslam_tpu.ops.triplane import _encode_fwd
+    """The moment-splat gradient must equal autodiff of the naive forward
+    (pack is linear, so differentiating through pack+gather is the exact
+    reference)."""
+    from xrdslam_tpu.ops.triplane import _encode_fwd, triplane_pack
 
     spec = triplane_spec((16,), (4,))
     tables = triplane_init(jax.random.PRNGKey(1), spec, std=1.0)
@@ -51,15 +53,30 @@ def test_triplane_table_grad_matches_autodiff():
         return jnp.sum(triplane_encode(t, x, spec) * w)
 
     def loss_naive(t):
-        return jnp.sum(_encode_fwd(t, x, spec) * w)
+        return jnp.sum(_encode_fwd(triplane_pack(t, spec), x, spec) * w)
 
     g_c = jax.grad(loss_custom)(tables)
     g_n = jax.grad(loss_naive)(tables)
-    # bf16 matmul operands: ~1e-2 relative tolerance
     for k in tables:
         a, b = np.asarray(g_c[k]), np.asarray(g_n[k])
         scale = np.abs(b).max() + 1e-9
-        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_triplane_prepacked_matches():
+    """encode(packed=triplane_pack(...)) == encode(...) forward and grads."""
+    from xrdslam_tpu.ops.triplane import triplane_pack
+
+    spec = triplane_spec((16, 32), (4, 8))
+    tables = triplane_init(jax.random.PRNGKey(5), spec, std=1.0)
+    x = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (100, 3)), jnp.float32)
+    packed = triplane_pack(tables, spec)
+    a = np.asarray(triplane_encode(tables, x, spec))
+    b = np.asarray(triplane_encode(tables, x, spec, packed=packed))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    gx_a = jax.grad(lambda xx: jnp.sum(triplane_encode(tables, xx, spec) ** 2))(x)
+    gx_b = jax.grad(lambda xx: jnp.sum(triplane_encode(tables, xx, spec, packed=packed) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b), atol=1e-4)
 
 
 def test_triplane_position_grad():

@@ -75,7 +75,7 @@ def main():
     t = timeit(lambda: algo._track_step(algo.model_params, rgb, depth, t0v, r0v, key))
     print(f"1 track_step (10 it):       {t:8.1f} ms", flush=True)
 
-    t = timeit(lambda: algo._map_step(
+    t = timeit(lambda: algo._get_map_step(algo._cur_cap())(
         algo.model_params, algo.model_opt_state, algo.kf_rays, algo.kf_pose_t,
         algo.kf_pose_r, jnp.asarray(8, jnp.int32), rgb, depth, t0v, r0v, key))
     print(f"2 map_step (10 it):         {t:8.1f} ms", flush=True)

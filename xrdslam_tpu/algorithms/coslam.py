@@ -119,6 +119,9 @@ class CoSLAM(Algorithm):
             )
             pose = {"tracking_pose_r": r0, "tracking_pose_t": t0}
             opt_state = opt.init(pose)
+            # tables are frozen during tracking: build the gather-layout
+            # copy once, not once per optimization iteration
+            packed = model.pack_tables(model_params)
 
             def body(carry, k):
                 pose, opt_state, best = carry
@@ -134,7 +137,8 @@ class CoSLAM(Algorithm):
                     Rm = lie.axis_angle_to_matrix(p["tracking_pose_r"])
                     rays_d = d_cam @ Rm.T
                     rays_o = jnp.broadcast_to(p["tracking_pose_t"], rays_d.shape)
-                    loss, _ = model.get_loss(model_params, k2, rays_o, rays_d, ts, td, None, False, False)
+                    loss, _ = model.get_loss(
+                        model_params, k2, rays_o, rays_d, ts, td, None, False, False, packed=packed)
                     return loss
 
                 loss, g = jax.value_and_grad(loss_fn)(pose)
@@ -160,7 +164,17 @@ class CoSLAM(Algorithm):
         def map_step(
             model_params, model_opt_state, kf_rays, kf_pose_t, kf_pose_r, kf_count,
             cur_rgb, cur_depth, cur_t, cur_r, key, n_iters: int, first: bool,
+            cur_cap: Optional[int] = None,
         ):
+            # static capacity for current-frame pixels. The reference samples
+            # max(mapping_sample // kf_count, min_sample_pixels) pixels
+            # (coslam.py:171-177) — a SHRINKING count as keyframes accumulate.
+            # Rendering a fixed mapping_sample of them and masking wastes
+            # ~45% of mapping compute in steady state, so the host picks a
+            # power-of-two bucket >= the live count (one recompile per
+            # bucket shrink, ~5 over a run).
+            if cur_cap is None:
+                cur_cap = cfg.mapping_sample
             groups = dict(self._model_groups_cfg())
             if not first:
                 groups["mapping_pose_r"] = self._opt_cfgs["mapping_pose_r"]
@@ -184,17 +198,19 @@ class CoSLAM(Algorithm):
                 k1, k2, k3 = jax.random.split(k, 3)
 
                 # current-frame pixels (reference: coslam.py:171-177)
-                u, v = sample_pixels(k2, cfg.mapping_sample, H, W)
+                u, v = sample_pixels(k2, cur_cap, H, W)
                 ui = u.astype(jnp.int32)
                 vi = v.astype(jnp.int32)
                 cur_td = cur_depth[vi, ui][:, None]
                 cur_ts = cur_rgb[vi, ui]
                 cur_dirs = self._dirs[vi, ui]
                 if first:
-                    cur_n = cfg.mapping_sample
+                    cur_n = cur_cap
                 else:
-                    cur_n = jnp.maximum(cfg.mapping_sample // jnp.maximum(kf_count, 1), cfg.min_sample_pixels)
-                cur_mask = (jnp.arange(cfg.mapping_sample) < cur_n).astype(jnp.float32)
+                    cur_n = jnp.minimum(
+                        jnp.maximum(cfg.mapping_sample // jnp.maximum(kf_count, 1), cfg.min_sample_pixels),
+                        cur_cap)
+                cur_mask = (jnp.arange(cur_cap) < cur_n).astype(jnp.float32)
 
                 if not first:
                     idx = jax.random.randint(k1, (cfg.mapping_sample,), 0, n_kf_rays)
@@ -251,11 +267,11 @@ class CoSLAM(Algorithm):
                 loss_hist,
             )
 
-        self._map_step = jax.jit(functools.partial(map_step, n_iters=cfg.mapping_n_iters, first=False))
         self._map_step_first = jax.jit(functools.partial(map_step, n_iters=cfg.mapping_first_n_iters, first=True))
         self._track_fn = track_step  # unjitted, composed into the super-step
-        self._map_fn = functools.partial(map_step, n_iters=cfg.mapping_n_iters, first=False)
-        self._super_steps: Dict[Tuple[int, bool], Any] = {}
+        self._map_fn_raw = functools.partial(map_step, n_iters=cfg.mapping_n_iters, first=False)
+        self._map_steps: Dict[int, Any] = {}  # cur_cap -> jitted map step
+        self._super_steps: Dict[Tuple[int, bool, int], Any] = {}
 
         # ---------------- keyframe insertion ---------------------------
         def add_kf(kf_rays, rgb, depth, slot, key):
@@ -292,6 +308,21 @@ class CoSLAM(Algorithm):
     def _model_groups_cfg(self):
         return {g: self._opt_cfgs[g] for g in self._model_groups}
 
+    def _cur_cap(self) -> int:
+        """Power-of-two bucket for the live current-frame pixel count."""
+        cfg = self.config
+        need = max(cfg.mapping_sample // max(self.kf_count, 1), cfg.min_sample_pixels)
+        cap = 128
+        while cap < need:
+            cap *= 2
+        return min(cap, cfg.mapping_sample)
+
+    def _get_map_step(self, cur_cap: int):
+        if cur_cap not in self._map_steps:
+            self._map_steps[cur_cap] = jax.jit(
+                functools.partial(self._map_fn_raw, cur_cap=cur_cap))
+        return self._map_steps[cur_cap]
+
     # ------------------------------------------------------------------
     # host API (called by the pipeline)
     # ------------------------------------------------------------------
@@ -319,7 +350,7 @@ class CoSLAM(Algorithm):
 
     def do_mapping(self, cur_frame: Frame) -> None:
         first = not self.is_initialized()
-        fn = self._map_step_first if first else self._map_step
+        fn = self._map_step_first if first else self._get_map_step(self._cur_cap())
         out = fn(
             self.model_params,
             self.model_opt_state,
@@ -352,10 +383,12 @@ class CoSLAM(Algorithm):
         mapped frames, so the serialization below is the reference's own).
         Constant-velocity prediction runs on device (tracker.py:185-199).
         """
-        key_ = (group, do_kf)
+        cur_cap = self._cur_cap()
+        key_ = (group, do_kf, cur_cap)
         if key_ in self._super_steps:
             return self._super_steps[key_]
-        track_fn, map_fn, add_kf_fn = self._track_fn, self._map_fn, self._add_kf_fn
+        track_fn, add_kf_fn = self._track_fn, self._add_kf_fn
+        map_fn = functools.partial(self._map_fn_raw, cur_cap=cur_cap)
 
         def predict(t1, r1, t2, r2):
             # delta = P1 @ inv(P2); pred = delta @ P1 (tracker.py:185-199)

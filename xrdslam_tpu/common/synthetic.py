@@ -54,7 +54,7 @@ def scene_color(p: np.ndarray) -> np.ndarray:
     return np.clip(c, 0.0, 1.0)
 
 
-def sphere_trace(origins: np.ndarray, dirs: np.ndarray, n_steps: int = 96, far: float = 8.0) -> np.ndarray:
+def sphere_trace(origins: np.ndarray, dirs: np.ndarray, n_steps: int = 96, far: float = 8.0, scene: str = "simple") -> np.ndarray:
     """Sphere-trace depth along rays. origins/dirs [..., 3] -> depth [...].
 
     Implemented as a jitted JAX loop (device-accelerated — pure NumPy is
@@ -63,7 +63,7 @@ def sphere_trace(origins: np.ndarray, dirs: np.ndarray, n_steps: int = 96, far: 
     shape = origins.shape[:-1]
     o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
-    t = np.asarray(_sphere_trace_jit(o, d, n_steps, far))
+    t = np.asarray(_sphere_trace_jit(o, d, n_steps, far, scene))
     return t.reshape(shape).astype(np.float32)
 
 
@@ -77,16 +77,139 @@ def _scene_sdf_jnp(p):
     return jnp.minimum(room, jnp.minimum(sphere, box))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _sphere_trace_jit(o, d, n_steps, far):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _sphere_trace_jit(o, d, n_steps, far, scene="simple"):
+    sdf = _scene_sdf_jnp if scene == "simple" else _office_sdf_jnp
+
     def body(_, t):
         p = o + d * t[:, None]
-        sd = _scene_sdf_jnp(p)
+        sd = sdf(p)
         return jnp.minimum(t + jnp.maximum(sd, 1e-4) * 0.9, far)
 
     t = jax.lax.fori_loop(0, n_steps, body, jnp.zeros(o.shape[0], jnp.float32))
-    hit = _scene_sdf_jnp(o + d * t[:, None]) < 5e-3
+    hit = sdf(o + d * t[:, None]) < 5e-3
     return jnp.where(hit, t, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# "office" scene — Replica-office0-class accuracy-parity target
+# (VERDICT.md round-1 item 2): a 6 x 4 x 5 m furnished room with textured
+# surfaces (multi-frequency procedural detail down to ~15 cm wavelength so
+# PSNR is a meaningful reconstruction signal), an analytic SDF (exact GT
+# depth + exact GT mesh via marching tetrahedra), and a smooth tour
+# trajectory with Replica-like per-frame motion.
+# ---------------------------------------------------------------------------
+
+OFFICE_HALF = np.array([3.0, 2.0, 2.5])
+
+
+def _office_prims(np_):
+    """Scene primitives as (kind, params) evaluated with numpy or jnp."""
+    def box(p, c, h):
+        q = np_.abs(p - np_.asarray(c)) - np_.asarray(h)
+        return (np_.linalg.norm(np_.maximum(q, 0.0), axis=-1)
+                + np_.minimum(np_.max(q, axis=-1), 0.0))
+
+    def sphere(p, c, r):
+        return np_.linalg.norm(p - np_.asarray(c), axis=-1) - r
+
+    def cyl_y(p, cx, cz, r):
+        d = np_.sqrt((p[..., 0] - cx) ** 2 + (p[..., 2] - cz) ** 2) - r
+        return d
+
+    def sdf(p):
+        room = -box(p, [0.0, 0.0, 0.0], OFFICE_HALF)
+        table_top = box(p, [0.9, -1.35, -0.7], [0.75, 0.05, 0.5])
+        table_leg = box(p, [0.9, -1.7, -0.7], [0.1, 0.35, 0.1])
+        chair = box(p, [0.2, -1.6, 0.5], [0.25, 0.4, 0.25])
+        sofa = box(p, [-1.8, -1.55, 1.4], [0.9, 0.45, 0.5]) - 0.06
+        lamp = sphere(p, [-1.6, 0.3, -1.6], 0.35)
+        column = cyl_y(p, 2.3, 1.7, 0.3)
+        shelf = box(p, [2.82, -0.4, -0.9], [0.18, 1.0, 0.6])
+        ball = sphere(p, [1.3, -1.1, 0.9], 0.25)
+        objs = room
+        for o in (table_top, table_leg, chair, sofa, lamp, column, shelf, ball):
+            objs = np_.minimum(objs, o)
+        return objs
+
+    return sdf
+
+
+def office_sdf(p: np.ndarray) -> np.ndarray:
+    return _office_prims(np)(p)
+
+
+def _office_sdf_jnp(p):
+    return _office_prims(jnp)(p)
+
+
+def office_color(p: np.ndarray, np_=np) -> np.ndarray:
+    """Textured procedural color: low-frequency hue + mid/high-frequency
+    detail (wavelengths ~80 cm / ~15 cm) so rendering metrics discriminate
+    map quality the way Replica's textured meshes do."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    base = 0.5 + 0.35 * np_.sin(
+        p * np_.asarray([1.1, 1.7, 1.3]) + np_.asarray([0.0, 2.1, 4.2]))
+    mid = 0.5 + 0.5 * np_.sin(7.9 * x + 1.5 * np_.sin(3.1 * y)) * np_.sin(
+        8.3 * z + 1.5 * np_.sin(2.7 * x))
+    fine = 0.5 + 0.5 * np_.sin(41.0 * x) * np_.sin(37.0 * y) * np_.sin(43.0 * z)
+    c = base * (0.62 + 0.28 * mid[..., None] + 0.10 * fine[..., None])
+    return np_.clip(c, 0.0, 1.0)
+
+
+def tour_poses(n_frames: int, cm_per_frame: float = 0.6, seed: int = 0) -> np.ndarray:
+    """Smooth room-tour c2w trajectory: lissajous translation + slowly
+    rotating view direction, scaled so per-frame motion matches Replica
+    sequences (~0.5-1 cm translation, ~0.1 degree rotation per frame)."""
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    # total parameter range chosen so mean step ~= cm_per_frame
+    total = n_frames * cm_per_frame * 0.01
+    w = total / max(n_frames, 1) / 1.6  # lissajous arc-length heuristic
+    for i in range(n_frames):
+        a = w * i
+        eye = np.array([
+            1.5 * np.sin(a),
+            0.35 * np.sin(0.7 * a + 0.5),
+            1.6 * np.sin(1.31 * a + 1.2),
+        ])
+        yaw = 0.5 * a + 0.4 * np.sin(0.53 * a)
+        pitch = 0.15 * np.sin(0.41 * a)
+        fwd = np.array([
+            np.cos(pitch) * np.sin(yaw),
+            np.sin(pitch),
+            -np.cos(pitch) * np.cos(yaw),
+        ])
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        R = np.stack([right, true_up, -fwd], axis=1)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = eye
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+def office_gt_mesh(voxel: float = 0.02):
+    """Exact GT mesh: marching tetrahedra of the analytic SDF."""
+    from ..ops.marching_tets import marching_tetrahedra
+    from ..utils.mesh_ops import Mesh
+
+    half = OFFICE_HALF + 0.02
+    xs = [np.arange(-h, h + voxel, voxel, dtype=np.float32) for h in half]
+    gx, gy, gz = np.meshgrid(xs[0], xs[1], xs[2], indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    # evaluate through the jitted sdf in chunks (1-core numpy is too slow)
+    vals = np.empty(pts.shape[0], np.float32)
+    bs = 1 << 20
+    f = jax.jit(_office_sdf_jnp)
+    for i in range(0, pts.shape[0], bs):
+        vals[i:i + bs] = np.asarray(f(jnp.asarray(pts[i:i + bs])))
+    volume = vals.reshape(gx.shape)
+    verts, faces = marching_tetrahedra(
+        volume, level=0.0, origin=(xs[0][0], xs[1][0], xs[2][0]),
+        spacing=(voxel, voxel, voxel))
+    return Mesh(verts, faces, None)
 
 
 def orbit_poses(n_frames: int, radius: float = 0.6, height_amp: float = 0.2, deg_per_frame: float = 0.35) -> np.ndarray:
@@ -134,9 +257,9 @@ class SyntheticDataset:
 
     data_format = "RGBD"
 
-    def __init__(self, data_path: str = "", n_frames: int = 40, height: int = 120, width: int = 160, fov_deg: float = 70.0):
+    def __init__(self, data_path: str = "", n_frames: int = 40, height: int = 120, width: int = 160, fov_deg: float = 70.0, scene: str = "simple"):
         # data_path may carry generator params as "k=v,k=v"
-        # (e.g. ds-run --data "n_frames=16,height=60,width=80").
+        # (e.g. ds-run --data "n_frames=16,height=60,width=80,scene=office").
         if data_path:
             for kv in data_path.split(","):
                 if "=" not in kv:
@@ -151,10 +274,13 @@ class SyntheticDataset:
                     width = int(v)
                 elif k == "fov_deg":
                     fov_deg = float(v)
+                elif k == "scene":
+                    scene = v.strip()
+        self.scene = scene
         self.n_img = n_frames
         f = 0.5 * width / np.tan(0.5 * np.deg2rad(fov_deg))
         self.camera = Camera(fx=f, fy=f, cx=width / 2 - 0.5, cy=height / 2 - 0.5, height=height, width=width)
-        self.poses = orbit_poses(n_frames)
+        self.poses = orbit_poses(n_frames) if scene == "simple" else tour_poses(n_frames)
         self._cache = {}
 
     def __len__(self) -> int:
@@ -176,10 +302,11 @@ class SyntheticDataset:
         # depth is distance along the (unnormalized) pixel ray, like a
         # z-buffer dataset: trace with normalized dirs then divide by norm.
         norms = np.linalg.norm(dirs_w, axis=-1)
-        t = sphere_trace(origins, dirs_w / norms[..., None])
+        t = sphere_trace(origins, dirs_w / norms[..., None], scene=self.scene)
         depth = np.where(t > 0, t / norms, 0.0).astype(np.float32)
         p_hit = origins + dirs_w * depth[..., None]
-        color = scene_color(p_hit).astype(np.float32)
+        color_fn = scene_color if self.scene == "simple" else office_color
+        color = color_fn(p_hit).astype(np.float32)
         color = np.where(depth[..., None] > 0, color, 0.0)
         return color, depth
 
@@ -195,6 +322,15 @@ class SyntheticDataset:
     @property
     def bounds(self) -> np.ndarray:
         m = 0.2
-        return np.array([[-ROOM_HALF[0] - m, ROOM_HALF[0] + m],
-                         [-ROOM_HALF[1] - m, ROOM_HALF[1] + m],
-                         [-ROOM_HALF[2] - m, ROOM_HALF[2] + m]], np.float32)
+        half = ROOM_HALF if self.scene == "simple" else OFFICE_HALF
+        return np.array([[-half[0] - m, half[0] + m],
+                         [-half[1] - m, half[1] + m],
+                         [-half[2] - m, half[2] + m]], np.float32)
+
+    def gt_mesh(self, voxel: float = 0.02):
+        """Exact scene mesh (office scene only) for 3D reconstruction
+        metrics — the synthetic stand-in for Replica's cull_replica_mesh
+        ground truth."""
+        if self.scene != "office":
+            raise ValueError("gt_mesh is defined for the office scene")
+        return office_gt_mesh(voxel)

@@ -120,16 +120,25 @@ class JointEncoding(Model):
             c.fast_encoder and hashgrid_fast.on_tpu() and hashgrid_fast.supports(self.spec)
         )
 
-    def _encode(self, table, x, spec):
+    def _encode(self, table, x, spec, packed=None):
         if self.tp_spec is not None:
             from ..ops.triplane import triplane_encode
 
             flat = x.reshape(-1, 3)
-            out = triplane_encode(table, flat, self.tp_spec)
+            out = triplane_encode(table, flat, self.tp_spec, packed=packed)
             return out.reshape(x.shape[:-1] + (self.tp_spec.out_dim,))
         from ..ops import hashgrid_fast
 
         return hashgrid_fast.encode(table, x, spec, use_opt=self._use_fast)
+
+    def pack_tables(self, params):
+        """Precompute the gather-layout copy of the scene encoding for a
+        phase where tables are constant (tracking). None for hash mode."""
+        if self.tp_spec is None:
+            return None
+        from ..ops.triplane import triplane_pack
+
+        return triplane_pack(params["embed_fn"]["table"], self.tp_spec)
 
     # ------------------------------------------------------------------
     # params
@@ -165,10 +174,10 @@ class JointEncoding(Model):
         b = self._bound
         return (pts - b[:, 0]) / (b[:, 1] - b[:, 0])
 
-    def query_raw(self, params, pts: jnp.ndarray) -> jnp.ndarray:
+    def query_raw(self, params, pts: jnp.ndarray, packed=None) -> jnp.ndarray:
         """[..., 3] world pts -> [..., 4] (rgb logits, sdf)."""
         x = self._normalize(pts)
-        emb = self._encode(params["embed_fn"]["table"], x, self.spec)
+        emb = self._encode(params["embed_fn"]["table"], x, self.spec, packed=packed)
         pos = encodings.oneblob_encode(x, self.config.pos_nbins)
         h = mlp.mlp_apply(params["decoder"]["sdf"], jnp.concatenate([emb, pos], -1))
         sdf, geo = h[..., :1], h[..., 1:]
@@ -199,7 +208,7 @@ class JointEncoding(Model):
     # ------------------------------------------------------------------
     # rendering
     # ------------------------------------------------------------------
-    def render_rays(self, params, key: jax.Array, rays_o, rays_d, target_d) -> Dict[str, jnp.ndarray]:
+    def render_rays(self, params, key: jax.Array, rays_o, rays_d, target_d, packed=None) -> Dict[str, jnp.ndarray]:
         """reference: joint_encoding.py:250-344 (no importance branch; the
         Co-SLAM config uses training_n_importance=0)."""
         c = self.config
@@ -209,7 +218,7 @@ class JointEncoding(Model):
             c.training_range_d, c.training_n_range_d, bool(c.training_perturb),
         )
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        raw = self.query_raw(params, pts)
+        raw = self.query_raw(params, pts, packed=packed)
         rgb_map, disp, acc, weights, depth_map, depth_var = rendering.raw2outputs_sdf(
             raw, z_vals, c.training_trunc, c.data_sc_factor, c.training_white_bkgd
         )
@@ -246,12 +255,13 @@ class JointEncoding(Model):
         ray_mask,
         is_mapping: bool,
         first: bool,
+        packed=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Weighted sum of rgb/depth/sdf/fs (+ smoothness) losses
         (reference: joint_encoding.py:94-147)."""
         c = self.config
         k_render, k_smooth = jax.random.split(key)
-        out = self.render_rays(params, k_render, rays_o, rays_d, target_d)
+        out = self.render_rays(params, k_render, rays_o, rays_d, target_d, packed=packed)
         rgb_l, depth_l = losses.rgb_depth_losses(
             out["rgb"], out["depth"], target_s, target_d,
             depth_trunc=c.cam_depth_trunc, rgb_missing=c.training_rgb_missing, ray_mask=ray_mask,

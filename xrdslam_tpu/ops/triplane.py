@@ -103,12 +103,23 @@ def _pack_patch(plane):
     return packed
 
 
-def _gather_corners(plane, u0, v0):
-    """plane [R, R, C] -> (f00, f01, f10, f11) each [N, C] via ONE gather
-    of packed 2x2 patch rows."""
-    R, _, C = plane.shape
-    packed = _pack_patch(plane)
-    f = jnp.take(packed, u0 * R + v0, axis=0)  # [N, 4C]
+def triplane_pack(tables, spec: TriplaneSpec):
+    """Precompute the packed 2x2-patch gather tables for all planes.
+
+    Pass the result to ``triplane_encode(..., packed=...)`` when the tables
+    are constant across many encodes (tracking: the model is frozen while
+    the pose optimizes) so the pack isn't rebuilt per call."""
+    packed = {}
+    for s, R in enumerate(spec.resolutions):
+        planes = tables[f"s{s}"]
+        packed[f"s{s}"] = jnp.stack([_pack_patch(planes[p]) for p in range(3)])
+    return packed
+
+
+def _gather_corners(packed_plane, R, C, u0, v0):
+    """packed_plane [rows_padded, 4C] -> (f00, f01, f10, f11) each [N, C]
+    via ONE gather of packed 2x2 patch rows."""
+    f = jnp.take(packed_plane, u0 * R + v0, axis=0)  # [N, 4C]
     return f[:, :C], f[:, C:2 * C], f[:, 2 * C:3 * C], f[:, 3 * C:]
 
 
@@ -121,14 +132,14 @@ def _bilerp(corners, fu, fv):
     return f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
 
 
-def _encode_fwd(tables, x, spec, want_res: bool = False):
+def _encode_fwd(packed, x, spec, want_res: bool = False):
     outs = []
     res_corners = []
     for s, (R, C) in enumerate(zip(spec.resolutions, spec.n_features)):
-        planes = tables[f"s{s}"]
+        planes = packed[f"s{s}"]
         for p, (a, b) in enumerate(_PLANES):
             _, _, u0, v0, fu, fv = _plane_uv(x, a, b, R)
-            corners = _gather_corners(planes[p], u0, v0)
+            corners = _gather_corners(planes[p], R, C, u0, v0)
             if want_res:
                 res_corners.append(corners)
             outs.append(_bilerp(corners, fu, fv))
@@ -154,20 +165,20 @@ def _splat_moment(u0, v0, fu, fv, g, R):
     return d
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def triplane_encode(tables, x, spec: TriplaneSpec):
-    """tables {s{i}: [3, R, R, C]}, x [N, 3] in [0, 1] -> [N, out_dim]."""
-    return _encode_fwd(tables, x, spec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _encode_core(tables, packed, x, spec: TriplaneSpec):
+    return _encode_fwd(packed, x, spec)
 
 
-def _tp_fwd(tables, x, spec):
-    out, corners = _encode_fwd(tables, x, spec, want_res=True)
+def _tp_fwd(tables, packed, x, spec):
+    out, corners = _encode_fwd(packed, x, spec, want_res=True)
     return out, (x, corners)
 
 
 def _tp_bwd(spec, res, g):
     x, corners = res
     dtables = {}
+    dpacked = {}
     dx = jnp.zeros_like(x)
     off = 0
     ci = 0
@@ -188,7 +199,26 @@ def _tp_bwd(spec, res, g):
             db = jnp.sum(gk * dfv, -1) * scale
             dx = dx.at[:, a].add(da).at[:, b].add(db)
         dtables[f"s{s}"] = jnp.stack(dplanes)
-    return dtables, dx
+        # the packed copy is a derived value; its cotangent is identically
+        # zero (a broadcast-0, which XLA folds out of the add chain)
+        dpacked[f"s{s}"] = jnp.zeros(
+            (3, _good_rows(R * R), 4 * C), jnp.float32)
+    return dtables, dpacked, dx
 
 
-triplane_encode.defvjp(_tp_fwd, _tp_bwd)
+def triplane_encode(tables, x, spec: TriplaneSpec, packed=None):
+    """tables {s{i}: [3, R, R, C]}, x [N, 3] in [0, 1] -> [N, out_dim].
+
+    ``packed``: optional result of :func:`triplane_pack`. When given, the
+    2x2-patch gather tables are NOT rebuilt inside the call — pass it when
+    tables are constant across many encodes (tracking). Gradients w.r.t.
+    ``tables`` remain exact either way (the moment-splat backward indexes
+    the ORIGINAL table layout, not the packed copy)."""
+    if packed is None:
+        packed = triplane_pack(tables, spec)
+    else:
+        packed = jax.lax.stop_gradient(packed)
+    return _encode_core(tables, packed, x, spec)
+
+
+_encode_core.defvjp(_tp_fwd, _tp_bwd)
