@@ -1,0 +1,92 @@
+"""Multi-chip ray-DP sharding: parity with the single-device path.
+
+Runs the SAME CoSLAM sequence (same seed, same frames) twice on the
+virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): once with devices=1, once with
+devices=8 (ray batches sharded P('dp'), params replicated, gradients
+all-reduced by XLA). Results must agree to float-reduction tolerance —
+the sharded path changes only the summation order.
+"""
+import jax
+import numpy as np
+import pytest
+
+from xrdslam_tpu.algorithms.coslam import CoSLAMConfig
+from xrdslam_tpu.common.camera import Camera
+from xrdslam_tpu.common.frame import Frame
+from xrdslam_tpu.common.mesher import MesherConfig
+from xrdslam_tpu.common.synthetic import SyntheticDataset
+from xrdslam_tpu.engine.optimizers import AdamOptimizerConfig
+from xrdslam_tpu.models.joint_encoding import JointEncodingConfig
+
+
+def _mk_algo(devices: int):
+    ds = SyntheticDataset(n_frames=6, height=48, width=64)
+    bound = ds.bounds.tolist()
+    cam = ds.get_camera()
+    opts = {
+        "decoder": {"optimizer": AdamOptimizerConfig(lr=1e-2)},
+        "embed_fn": {"optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15)},
+        "tracking_pose_r": {"optimizer": AdamOptimizerConfig(lr=1e-3)},
+        "tracking_pose_t": {"optimizer": AdamOptimizerConfig(lr=1e-3)},
+        "mapping_pose_r": {"optimizer": AdamOptimizerConfig(lr=1e-3)},
+        "mapping_pose_t": {"optimizer": AdamOptimizerConfig(lr=1e-3)},
+    }
+    cfg = CoSLAMConfig(
+        separate_LR=True, rot_rep="axis_angle",
+        tracking_n_iters=4, mapping_n_iters=4, mapping_first_n_iters=8,
+        mapping_sample=128, tracking_sample=64, min_sample_pixels=16,
+        tracking_Wedge=4, tracking_Hedge=4,
+        mapping_bound=bound, marching_cubes_bound=bound, max_keyframes=8,
+        mesher=MesherConfig(resolution=32),
+        model=JointEncodingConfig(encoding="triplane",
+                                  triplane_resolutions=(16, 32),
+                                  triplane_features=(2, 2)),
+        optimizers=opts, seed=7, devices=devices,
+    )
+    return cfg.setup(camera=cam), ds
+
+
+def _run_sequence(devices: int):
+    algo, ds = _mk_algo(devices)
+    frames = []
+    for i in range(4):
+        _, rgb, depth, c2w = ds[i]
+        fr = Frame(fid=i, rgb=rgb, depth=depth, init_pose=c2w, gt_pose=c2w)
+        frames.append(fr)
+    # first mapping + keyframe
+    algo.do_mapping(frames[0])
+    algo.add_keyframe(frames[0])
+    algo.estimate_c2w_list = [frames[0].get_pose()]
+    # tracked frame
+    c1 = algo.do_tracking(frames[1])
+    algo.estimate_c2w_list.append(np.asarray(c1))
+    # steady mapping
+    algo.do_mapping(frames[1])
+    # fused super-step over frames 2..3
+    h = algo.dispatch_superstep(frames[2:4], True, algo.estimate_c2w_list[1],
+                                algo.estimate_c2w_list[0])
+    poses = algo.finish_superstep(h)
+    leaf = np.asarray(algo.model_params["embed_fn"]["table"]["s1"])
+    return np.asarray(c1), np.stack([np.asarray(p) for p in poses]), leaf
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8-device mesh")
+def test_ray_dp_parity_with_single_device():
+    c1_a, poses_a, leaf_a = _run_sequence(1)
+    c1_b, poses_b, leaf_b = _run_sequence(8)
+    np.testing.assert_allclose(c1_a, c1_b, atol=2e-4)
+    np.testing.assert_allclose(poses_a, poses_b, atol=5e-4)
+    scale = np.abs(leaf_a).max() + 1e-9
+    np.testing.assert_allclose(leaf_a / scale, leaf_b / scale, atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8-device mesh")
+def test_sharded_arrays_actually_sharded():
+    """The dp path must actually place ray shards on all 8 devices."""
+    algo, ds = _mk_algo(8)
+    assert algo.mesh is not None and algo.mesh.devices.size == 8
+    _, rgb, depth, c2w = ds[0]
+    fr = Frame(fid=0, rgb=rgb, depth=depth, init_pose=c2w, gt_pose=c2w)
+    algo.do_mapping(fr)  # must compile + run under the mesh without error
+    assert np.isfinite(np.asarray(algo.model_params["decoder"]["sdf"]["w"][0])).all()

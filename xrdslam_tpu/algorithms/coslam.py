@@ -60,6 +60,10 @@ class CoSLAMConfig(AlgorithmConfig):
     mapping_bound: List[List[float]] = field(default_factory=lambda: [[-3.5, 3], [-3, 3], [-3, 3]])
     max_keyframes: int = 512  # static capacity of the keyframe ray table
     seed: int = 0
+    # >1: shard ray batches data-parallel over a `dp` mesh of this many
+    # devices (parallel/sharded.py); parameters replicate, gradients
+    # all-reduce over ICI. Ray counts must divide by `devices`.
+    devices: int = 1
 
 
 class CoSLAM(Algorithm):
@@ -77,8 +81,18 @@ class CoSLAM(Algorithm):
         self.num_rays_to_save = int(camera.width * camera.height * config.rays_to_save_ratio)
         self.max_kf = config.max_keyframes
 
+        self.mesh = None
+        if config.devices > 1:
+            from ..parallel.sharded import make_mesh
+
+            self.mesh = make_mesh(config.devices)
+
         self._key = jax.random.PRNGKey(config.seed)
         self.model_params = self.model.init_params(self._next_key())
+        if self.mesh is not None:
+            from ..parallel.sharded import replicate
+
+            self.model_params = replicate(self.mesh, self.model_params)
 
         opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         self._model_groups = [g for g in ("embed_fn", "embed_fn_color", "decoder") if g in self.model_params]
@@ -104,6 +118,18 @@ class CoSLAM(Algorithm):
     # ------------------------------------------------------------------
     # jitted device programs
     # ------------------------------------------------------------------
+    def _shard_rays(self, *arrays):
+        """Constrain per-ray arrays to P('dp') when a device mesh is
+        configured — downstream per-ray compute shards data-parallel and
+        XLA all-reduces parameter gradients (parallel/sharded.py)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P("dp"))
+        out = tuple(jax.lax.with_sharding_constraint(a, s) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
     def _build_jits(self) -> None:
         cfg = self.config
         model = self.model
@@ -127,8 +153,7 @@ class CoSLAM(Algorithm):
                 pose, opt_state, best = carry
                 k1, k2 = jax.random.split(k)
                 u, v = sample_pixels(k1, cfg.tracking_sample, H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
-                ui = u.astype(jnp.int32)
-                vi = v.astype(jnp.int32)
+                ui, vi = self._shard_rays(u.astype(jnp.int32), v.astype(jnp.int32))
                 td = depth[vi, ui][:, None]
                 ts = rgb[vi, ui]
                 d_cam = self._dirs[vi, ui]
@@ -199,8 +224,7 @@ class CoSLAM(Algorithm):
 
                 # current-frame pixels (reference: coslam.py:171-177)
                 u, v = sample_pixels(k2, cur_cap, H, W)
-                ui = u.astype(jnp.int32)
-                vi = v.astype(jnp.int32)
+                ui, vi = self._shard_rays(u.astype(jnp.int32), v.astype(jnp.int32))
                 cur_td = cur_depth[vi, ui][:, None]
                 cur_ts = cur_rgb[vi, ui]
                 cur_dirs = self._dirs[vi, ui]
@@ -213,7 +237,7 @@ class CoSLAM(Algorithm):
                 cur_mask = (jnp.arange(cur_cap) < cur_n).astype(jnp.float32)
 
                 if not first:
-                    idx = jax.random.randint(k1, (cfg.mapping_sample,), 0, n_kf_rays)
+                    idx = self._shard_rays(jax.random.randint(k1, (cfg.mapping_sample,), 0, n_kf_rays))
                     rays = kf_rays_flat[idx]
                     fi = idx // R
 

@@ -1,16 +1,27 @@
-"""Multi-chip sharding for SLAM mapping: data-parallel rays over a device mesh.
+"""Multi-chip sharding for SLAM: data-parallel rays over a device mesh.
 
 The reference has no multi-device story (SURVEY.md §2.8: DataParallel pinned
 to one GPU). The TPU-native scaling axis for neural SLAM is **rays**: each
-mapping iteration renders thousands of independent rays whose only coupling
-is the shared map parameters. We shard the ray batch over a ``dp`` mesh
-axis and replicate map parameters; XLA then inserts one all-reduce (psum)
-of the parameter gradients per step over ICI — exactly the
+tracking/mapping iteration renders thousands of independent rays whose only
+coupling is the shared map parameters. We shard the ray batch over a ``dp``
+mesh axis and replicate map parameters; XLA then inserts one all-reduce
+(psum) of the parameter gradients per step over ICI — exactly the
 "annotate shardings, let XLA insert collectives" recipe.
 
-The hash table can additionally be sharded level-wise over a ``tp`` axis
-(each device owns L/tp resolution levels and computes its feature slice);
-that path is exercised by the multichip dry-run.
+Entry points:
+  * ``CoSLAMConfig(devices=N)`` (CLI: ``--xrdslam.algorithm.devices``) —
+    the production path: every track/map/super-step program constrains its
+    per-iteration ray batches to ``P('dp')`` (algorithms/coslam.py
+    ``_shard_rays``) and replicates parameters, covering tracking AND
+    mapping. Parity vs single-device is asserted by
+    tests/test_parallel.py on the 8-device CPU mesh.
+  * ``build_sharded_map_step`` — a standalone mesh-sharded mapping step
+    used by unit tests and the multichip dry-run.
+
+A tensor-parallel axis over encoding levels/channels is deliberately NOT
+provided: the scene models here are 10-50 MB — far below per-chip HBM —
+and splitting features would trade one gather for per-step collectives on
+the activation path. Rays are the only axis with useful parallel width.
 """
 from __future__ import annotations
 
