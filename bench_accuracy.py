@@ -102,9 +102,8 @@ def main() -> None:
     ds = SyntheticDataset(n_frames=args.frames, height=args.height,
                           width=args.width, scene="office")
     t0 = time.time()
-    for i in range(len(ds)):
-        ds[i]
-    print(f"[acc] rendered GT sequence in {time.time()-t0:.0f}s", file=sys.stderr)
+    ds.prerender(batch=8, verbose=True)
+    print(f"[acc] rendered GT sequence in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     import tempfile
 

@@ -9,11 +9,25 @@ slam/algorithms/splatam.py:21-126). Structural mapping:
   * Mapping picks a RANDOM window frame per iteration (splatam.py:50-66)
     and optimizes all gaussian parameter groups with per-group Adam lrs;
     window selection is the overlap method over keyframes.
-  * Gaussian growth from the silhouette/depth-error mask and pruning run
-    at call boundaries (the reference mutates the optimizer state inside
-    the loop; its Adam state is per-call anyway, base_algorithm.py:248).
-  * Tile binning is rebuilt on host per (frame, call) with an 8 px margin
-    so the per-iteration pose/mean updates stay inside the binned lists.
+  * Gaussian growth from the silhouette/depth-error mask happens before
+    each mapping call (model_update, gaussian_splatting.py:84-104);
+    PRUNING runs INSIDE the mapping scan at the reference's per-iteration
+    schedule (prune_every/start_after/stop_after,
+    gaussian_cloud_splatam.py:120-151) by flipping a persistent dead mask
+    and freezing dead rows — the functional analogue of the reference's
+    row deletion + Adam-state surgery.
+  * Gradient-based clone/split densification
+    (gaussian_cloud_splatam.py:174-256) runs in-scan when
+    ``mapping_use_gaussian_splatting_densification`` is on: screen-space
+    gradient norms accumulate per gaussian (via an explicit zero-valued
+    duv parameter so d loss/d means2D falls out of the same backward
+    pass), and at each densify step small high-gradient gaussians are
+    cloned, large ones split into jittered copies, and the tile binning
+    is rebuilt on device so new gaussians render immediately.
+  * Tile binning runs ON DEVICE inside the per-frame programs
+    (ops.gaussian_raster.bin_gaussians_device) — the round-1 host binning
+    (fetch projections -> numpy lexsort -> upload) cost ~300 ms/frame on
+    the 1-core host and serialized every call.
 """
 from __future__ import annotations
 
@@ -30,7 +44,7 @@ from ..common.frame import Frame
 from ..engine.optimizers import GroupOptimizers
 from ..models.gaussian_splatting import GaussianSplattingConfig
 from ..ops import lie
-from ..ops.gaussian_raster import bin_gaussians
+from ..ops.gaussian_raster import bin_gaussians_device
 from .base import Algorithm, AlgorithmConfig
 
 
@@ -43,9 +57,8 @@ class SplaTAMConfig(AlgorithmConfig):
     mapping_sil_thres: float = 0.5
     render_mode: str = "color"
     max_keyframes: int = 512
-    # config parity with the reference (gaussian_splatting.py:53-59); the
-    # reference ships this OFF and we warn+ignore if enabled (clone/split
-    # densification is a planned round-2 item)
+    # gradient-based clone/split densification during mapping (reference
+    # ships this OFF; schedules in model.mapping_densify_dict)
     mapping_use_gaussian_splatting_densification: bool = False
     seed: int = 0
 
@@ -60,12 +73,9 @@ class SplaTAM(Algorithm):
         super().__init__(config, camera)
         self.model = config.model.setup(camera=camera, bounding_box=None)
         self.bundle_adjust = False
-        if config.mapping_use_gaussian_splatting_densification:
-            print("[splatam] WARNING: gaussian-splatting densification is "
-                  "not implemented yet (the reference ships it disabled); "
-                  "ignoring the flag", flush=True)
         self._key = jax.random.PRNGKey(config.seed)
         self.params = self.model.init_params(self._next_key())
+        self.dead = jnp.zeros((config.model.max_gaussians,), jnp.bool_)
         self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         # keyframes: poses + images (kept on host; windows are small)
         self.kf_frames: List[Frame] = []
@@ -76,18 +86,36 @@ class SplaTAM(Algorithm):
         self._key, k = jax.random.split(self._key)
         return k
 
+    @property
+    def n_gauss(self) -> int:
+        return self.model.n_gauss
+
     # ------------------------------------------------------------------
     def _build_jits(self) -> None:
         cfg = self.config
         model = self.model
+        cam = self.camera
+        k_tile = cfg.model.k_per_tile
 
-        def track_step(params, alive, rgb, depth, t0, q0, tiles, mask, key, *, ntx, nty):
+        def binning(params, dead, count, w2c):
+            """On-device tile binning from current params/pose."""
+            u, v, depth, sigma = model.project(params, w2c)
+            alive = model.alive_mask(dead, count)
+            return bin_gaussians_device(
+                u, v, depth, 3.0 * sigma, alive, cam.height, cam.width,
+                k_per_tile=k_tile)
+
+        self._binning_fn = binning
+        self._bin_jit = jax.jit(binning)
+
+        def track_step(params, dead, count, rgb, depth, t0, q0, tiles, mask, key, *, ntx, nty):
             opt = GroupOptimizers(
                 {"tracking_pose_r": self._opt_cfgs["tracking_pose_r"], "tracking_pose_t": self._opt_cfgs["tracking_pose_t"]}
             )
             pose = {"tracking_pose_r": q0, "tracking_pose_t": t0}
             opt_state = opt.init(pose)
-            binning = (tiles, mask)
+            binning_ = (tiles, mask)
+            alive = model.alive_mask(dead, count)
 
             def body(carry, _):
                 pose, opt_state, best = carry
@@ -95,7 +123,7 @@ class SplaTAM(Algorithm):
                 def loss_fn(p):
                     c2w = lie.pose_vec_to_matrix(p["tracking_pose_t"], p["tracking_pose_r"], rot_rep="quat")
                     w2c = lie.pose_inverse(c2w)
-                    out = model.render(params, alive, w2c, binning, ntx, nty)
+                    out = model.render(params, alive, w2c, binning_, ntx, nty)
                     return model.get_loss(out, rgb, depth, is_mapping=False)
 
                 loss, g = jax.value_and_grad(loss_fn)(pose)
@@ -116,68 +144,128 @@ class SplaTAM(Algorithm):
         self._track_step_raw = track_step
         self._track_variants: Dict[Tuple, Any] = {}
 
-        def map_step(params, alive, images, w2cs, tiles, mask, key, *, n_frames, n_iters, ntx, nty):
+        def map_step(params, dead, count, images, w2cs, tiles, mask, key,
+                     *, n_frames, n_iters, ntx, nty, densify: bool):
             opt = GroupOptimizers({g: self._opt_cfgs[g] for g in GAUSS_GROUPS})
             opt_state = opt.init({g: params[g] for g in GAUSS_GROUPS})
             gparams = {g: params[g] for g in GAUSS_GROUPS}
+            G = cfg.model.max_gaussians
+            pdict = cfg.model.mapping_pruning_dict
+            ddict = cfg.model.mapping_densify_dict
 
-            def body(carry, k):
-                gp, opt_state = carry
-                fi = jax.random.randint(k, (), 0, n_frames)
+            def body(carry, inp):
+                gp, opt_state, dead, count, accum, denom, tiles, mask = carry
+                it, k = inp
+                k_fi, k_split = jax.random.split(k)
+                fi = jax.random.randint(k_fi, (), 0, n_frames)
                 img = images[fi]
                 w2c = w2cs[fi]
                 tile = tiles[fi]
                 msk = mask[fi]
+                alive = model.alive_mask(dead, count)
 
                 def loss_fn(p):
-                    out = model.render(p, alive, w2c, (tile, msk), ntx, nty)
+                    duv = p.get("_duv")
+                    out = model.render(p, alive, w2c, (tile, msk), ntx, nty, duv=duv)
                     return model.get_loss(out, img[..., :3], img[..., 3], is_mapping=True)
 
-                loss, g = jax.value_and_grad(loss_fn)(gp)
-                gp, opt_state = opt.update(g, opt_state, gp)
-                return (gp, opt_state), loss
+                diff = dict(gp)
+                if densify:
+                    diff["_duv"] = jnp.zeros((G, 2), jnp.float32)
+                loss, g = jax.value_and_grad(loss_fn)(diff)
+                upd, opt_state = opt.update({k2: g[k2] for k2 in GAUSS_GROUPS}, opt_state, gp)
+                # freeze dead/unallocated rows (the reference deletes them
+                # outright; a frozen row in a fixed table is equivalent)
+                gp = {k2: jnp.where(alive[:, None] > 0, upd[k2], gp[k2]) for k2 in GAUSS_GROUPS}
 
+                # in-loop prune at the reference schedule
+                dead, _ = model.prune_step(gp, dead, count, it)
+
+                if densify:
+                    gnorm = jnp.linalg.norm(g["_duv"], axis=-1)
+                    seen = gnorm > 0
+                    accum = accum + gnorm
+                    denom = denom + seen.astype(jnp.float32)
+                    do = ((it >= ddict["start_after"]) & (it <= ddict["stop_after"])
+                          & (it % max(ddict["densify_every"], 1) == 0) & (it > 0))
+
+                    def densify_branch(args):
+                        gp, dead, count, accum, denom, tiles, mask = args
+                        grads = accum / jnp.maximum(denom, 1.0)
+                        scale = jnp.exp(gp["log_scales"][:, 0])
+                        idx = jnp.arange(G)
+                        rows = (idx < count) & ~dead
+                        hi = (grads >= ddict["grad_thresh"]) & rows
+                        small = scale <= 0.01 * model.scene_radius
+                        to_clone = hi & small
+                        gp, dead, count = model.append_rows(gp, dead, count, to_clone)
+                        to_split = hi & ~small
+                        n_split = int(ddict["num_to_split_into"])
+                        gp, dead, count = model.append_rows(
+                            gp, dead, count, to_split, key=k_split,
+                            repeat=n_split, scale_div=0.8 * n_split)
+                        dead = dead | to_split
+                        # removal pass (gaussian_cloud_splatam.py:231-245)
+                        thresh = jnp.where(it == ddict["stop_after"],
+                                           ddict["final_removal_opacity_threshold"],
+                                           ddict["removal_opacity_threshold"])
+                        low = jax.nn.sigmoid(gp["logit_opacities"][:, 0]) < thresh
+                        big = scale > cfg.model.prune_big_fraction * model.scene_radius
+                        dead = dead | ((low | (big & (it >= ddict["remove_big_after"])))
+                                       & (idx < count))
+                        accum = jnp.zeros_like(accum)
+                        denom = jnp.zeros_like(denom)
+                        # rebin every window frame so new gaussians render
+                        tiles, mask = jax.vmap(
+                            lambda w: self._binning_fn(gp, dead, count, w))(w2cs)
+                        return gp, dead, count, accum, denom, tiles, mask
+
+                    gp, dead, count, accum, denom, tiles, mask = jax.lax.cond(
+                        do, densify_branch, lambda a: a,
+                        (gp, dead, count, accum, denom, tiles, mask))
+
+                return (gp, opt_state, dead, count, accum, denom, tiles, mask), loss
+
+            accum = jnp.zeros((G,), jnp.float32)
+            denom = jnp.zeros((G,), jnp.float32)
             keys = jax.random.split(key, n_iters)
-            (gparams, _), losses = jax.lax.scan(body, (gparams, opt_state), keys)
-            return gparams, losses
+            its = jnp.arange(n_iters)
+            carry0 = (gparams, opt_state, dead, count, accum, denom, tiles, mask)
+            (gparams, _, dead, count, _, _, _, _), losses = jax.lax.scan(body, carry0, (its, keys))
+            return gparams, dead, count, losses
 
         self._map_step_raw = map_step
         self._map_variants: Dict[Tuple, Any] = {}
 
-        def render_full(params, alive, w2c, tiles, mask, ntx, nty):
+        def render_full(params, dead, count, w2c):
+            tiles, mask = binning(params, dead, count, w2c)
+            alive = model.alive_mask(dead, count)
+            ntx = (cam.width + 15) // 16
+            nty = (cam.height + 15) // 16
             return model.render(params, alive, w2c, (tiles, mask), ntx, nty)
 
-        self._render = jax.jit(render_full, static_argnums=(5, 6))
+        self._render = jax.jit(render_full)
 
     # ------------------------------------------------------------------
-    def _binning(self, w2c: np.ndarray, k_per_tile: Optional[int] = None):
-        """Host tile binning from the current params (fetch projections)."""
-        u, v, depth, sigma = self.model.project(self.params, jnp.asarray(w2c, jnp.float32))
-        alive = np.asarray(self.model.alive_mask(self.params)) > 0
-        b = bin_gaussians(
-            np.asarray(u), np.asarray(v), np.asarray(depth), 3.0 * np.asarray(sigma),
-            alive, self.camera.height, self.camera.width,
-            k_per_tile=k_per_tile or self.config.model.k_per_tile,
-        )
-        return b
-
     def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
         if not self.is_initialized():
             return None
         from ..ops import lie_np
 
         c2w = cur_frame.get_pose()
-        w2c = np.linalg.inv(c2w)
-        b = self._binning(w2c)
+        w2c = jnp.asarray(np.linalg.inv(c2w), jnp.float32)
+        count = jnp.asarray(self.model.n_gauss, jnp.int32)
+        tiles, mask = self._bin_jit(self.params, self.dead, count, w2c)
         t0 = jnp.asarray(cur_frame.t)
         q0 = jnp.asarray(cur_frame.r)
-        sig = (b.n_tiles_x, b.n_tiles_y)
+        ntx = (self.camera.width + 15) // 16
+        nty = (self.camera.height + 15) // 16
+        sig = (ntx, nty)
         if sig not in self._track_variants:
-            self._track_variants[sig] = jax.jit(functools.partial(self._track_step_raw, ntx=sig[0], nty=sig[1]))
-        alive = self.model.alive_mask(self.params)
+            self._track_variants[sig] = jax.jit(functools.partial(self._track_step_raw, ntx=ntx, nty=nty))
         bt, bq, _ = self._track_variants[sig](
-            self.params, alive, cur_frame.rgb_jax(), cur_frame.depth_jax(),
-            t0, q0, jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), self._next_key(),
+            self.params, self.dead, count, cur_frame.rgb_jax(), cur_frame.depth_jax(),
+            t0, q0, tiles, mask, self._next_key(),
         )
         bt_np, bq_np = jax.device_get((bt, bq))
         return lie_np.pose_vec_to_matrix(bt_np, bq_np, rot_rep="quat")
@@ -192,10 +280,8 @@ class SplaTAM(Algorithm):
             mask = cur_frame.depth > 0
             self.model.scene_radius = float(cur_frame.depth.max() / 3.0)
         else:
-            b = self._binning(w2c)
-            alive = self.model.alive_mask(self.params)
-            out = self._render(self.params, alive, jnp.asarray(w2c, jnp.float32),
-                               jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), b.n_tiles_x, b.n_tiles_y)
+            count = jnp.asarray(self.model.n_gauss, jnp.int32)
+            out = self._render(self.params, self.dead, count, jnp.asarray(w2c, jnp.float32))
             sil = np.asarray(out["sil"])
             rdepth = np.asarray(out["depth"])
             derr = np.abs(cur_frame.depth - rdepth) * (cur_frame.depth > 0)
@@ -212,24 +298,23 @@ class SplaTAM(Algorithm):
             [jnp.concatenate([jnp.asarray(f.rgb), jnp.asarray(f.depth)[..., None]], -1) for f in frames]
         )
         w2cs = jnp.stack([jnp.asarray(np.linalg.inv(f.get_pose()), jnp.float32) for f in frames])
-        tiles, masks = [], []
-        ntx = nty = None
-        for f in frames:
-            b = self._binning(np.linalg.inv(f.get_pose()))
-            tiles.append(b.tile_ids)
-            masks.append(b.tile_mask)
-            ntx, nty = b.n_tiles_x, b.n_tiles_y
+        count = jnp.asarray(self.model.n_gauss, jnp.int32)
+        tiles, masks = jax.vmap(lambda w: self._bin_jit(self.params, self.dead, count, w))(w2cs)
+        ntx = (self.camera.width + 15) // 16
+        nty = (self.camera.height + 15) // 16
         n_iters = cfg.mapping_first_n_iters if first else cfg.mapping_n_iters
-        sig = (len(frames), n_iters, ntx, nty)
+        densify = bool(cfg.mapping_use_gaussian_splatting_densification)
+        sig = (len(frames), n_iters, ntx, nty, densify)
         if sig not in self._map_variants:
             self._map_variants[sig] = jax.jit(
-                functools.partial(self._map_step_raw, n_frames=len(frames), n_iters=n_iters, ntx=ntx, nty=nty)
+                functools.partial(self._map_step_raw, n_frames=len(frames),
+                                  n_iters=n_iters, ntx=ntx, nty=nty, densify=densify)
             )
-        alive = self.model.alive_mask(self.params)
-        gparams, _ = self._map_variants[sig](
-            self.params, alive, images, w2cs, jnp.asarray(np.stack(tiles)), jnp.asarray(np.stack(masks)), self._next_key()
+        gparams, self.dead, new_count, _ = self._map_variants[sig](
+            self.params, self.dead, count, images, w2cs, tiles, masks, self._next_key()
         )
         self.params.update(gparams)
+        self.model.n_gauss = int(jax.device_get(new_count))
         if first:
             self.set_initialized()
 
@@ -267,10 +352,8 @@ class SplaTAM(Algorithm):
 
     def render_img(self, c2w: np.ndarray, gt_depth: Optional[np.ndarray] = None, idx: Optional[int] = None):
         w2c = np.linalg.inv(np.asarray(c2w, np.float64)).astype(np.float32)
-        b = self._binning(w2c)
-        alive = self.model.alive_mask(self.params)
-        out = self._render(self.params, alive, jnp.asarray(w2c),
-                           jnp.asarray(b.tile_ids), jnp.asarray(b.tile_mask), b.n_tiles_x, b.n_tiles_y)
+        count = jnp.asarray(self.model.n_gauss, jnp.int32)
+        out = self._render(self.params, self.dead, count, jnp.asarray(w2c))
         rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
         depth = np.asarray(out["depth"])
         if gt_depth is not None:

@@ -51,6 +51,35 @@ class GaussianSplattingConfig(ModelConfig):
     prune_opacity_threshold: float = 0.005
     prune_big_fraction: float = 0.1  # of scene_radius
     mean_sq_dist_method: str = "projective"
+    # in-loop prune schedule (reference: gaussian_splatting.py:42-51
+    # mapping_pruning_dict; applied inside the mapping scan at these
+    # iteration numbers — gaussian_cloud_splatam.py:120-151)
+    mapping_pruning_dict: Dict[str, Any] = field(default_factory=lambda: dict(
+        start_after=0,
+        remove_big_after=0,
+        stop_after=20,
+        prune_every=20,
+        removal_opacity_threshold=0.005,
+        final_removal_opacity_threshold=0.005,
+        reset_opacities=False,
+        reset_opacities_every=500,
+    ))
+    # clone/split densification schedule (reference:
+    # gaussian_splatting.py:55-66 mapping_densify_dict; the reference ships
+    # the flag OFF and the default schedule never fires within 60 mapping
+    # iters — "needs to be updated based on the number of mapping
+    # iterations")
+    mapping_densify_dict: Dict[str, Any] = field(default_factory=lambda: dict(
+        start_after=500,
+        remove_big_after=3000,
+        stop_after=5000,
+        densify_every=100,
+        grad_thresh=0.0002,
+        num_to_split_into=2,
+        removal_opacity_threshold=0.005,
+        final_removal_opacity_threshold=0.005,
+        reset_opacities_every=3000,
+    ))
 
 
 def ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -105,10 +134,17 @@ class GaussianSplatting(Model):
         sigma = jnp.exp(params["log_scales"][:, 0]) * self._f * inv
         return u, v, depth, sigma
 
-    def render(self, params, alive: jnp.ndarray, w2c: jnp.ndarray, binning: Tuple, ntx: int, nty: int) -> Dict[str, jnp.ndarray]:
-        """Single-pass 8-channel rasterization -> rgb/depth/sil/depth_sq."""
+    def render(self, params, alive: jnp.ndarray, w2c: jnp.ndarray, binning: Tuple, ntx: int, nty: int, duv: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Single-pass 8-channel rasterization -> rgb/depth/sil/depth_sq.
+
+        ``duv`` [G, 2]: optional zero-valued screen offset whose gradient
+        is the per-gaussian means2D gradient (densification signal,
+        gaussian_cloud_splatam.py:174-186)."""
         cam = self.camera
         u, v, depth, sigma = self.project(params, w2c)
+        if duv is not None:
+            u = u + duv[:, 0]
+            v = v + duv[:, 1]
         opacity = jax.nn.sigmoid(params["logit_opacities"][:, 0]) * alive
         ch = jnp.concatenate(
             [
@@ -186,9 +222,74 @@ class GaussianSplatting(Model):
         self.n_gauss += n
         return params
 
-    def alive_mask(self, params) -> jnp.ndarray:
+    def alive_mask(self, dead: jnp.ndarray, count) -> jnp.ndarray:
+        """Row liveness: allocated and not pruned. Pruning flips ``dead``
+        at the reference's in-loop schedule (prune_step) instead of
+        deleting rows (gaussian_cloud_splatam.py:80-106 removes rows +
+        Adam state; with a fixed table, freezing the row is equivalent)."""
         idx = jnp.arange(self.config.max_gaussians)
-        in_range = (idx < self.n_gauss).astype(jnp.float32)
-        opacity_ok = (jax.nn.sigmoid(params["logit_opacities"][:, 0]) >= self.config.prune_opacity_threshold)
-        not_big = jnp.exp(params["log_scales"][:, 0]) <= self.config.prune_big_fraction * self.scene_radius
-        return in_range * opacity_ok.astype(jnp.float32) * not_big.astype(jnp.float32)
+        return ((idx < count) & ~dead).astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    # in-scan prune / densify table ops (functional analogues of the
+    # reference's optimizer-state surgery, gaussian_cloud_splatam.py:80-256)
+    # ------------------------------------------------------------------
+    def prune_step(self, params, dead, count, it: jnp.ndarray):
+        """Apply the reference prune schedule at traced iteration ``it``
+        (gaussian_cloud_splatam.py:120-140). Returns (dead, did_prune)."""
+        d = self.config.mapping_pruning_dict
+        do = ((it >= d["start_after"]) & (it <= d["stop_after"])
+              & (it % max(d["prune_every"], 1) == 0))
+        thresh = jnp.where(it == d["stop_after"],
+                           d["final_removal_opacity_threshold"],
+                           d["removal_opacity_threshold"])
+        low = jax.nn.sigmoid(params["logit_opacities"][:, 0]) < thresh
+        big = (jnp.exp(params["log_scales"][:, 0])
+               > self.config.prune_big_fraction * self.scene_radius)
+        remove = low | (big & (it >= d["remove_big_after"]))
+        idx = jnp.arange(self.config.max_gaussians)
+        remove = remove & (idx < count)
+        return jnp.where(do, dead | remove, dead), do
+
+    @staticmethod
+    def reset_opacities_value():
+        """inverse_sigmoid(0.01) (gaussian_cloud_splatam.py:143-150)."""
+        return float(np.log(0.01 / 0.99))
+
+    def append_rows(self, params, dead, count, mask, key=None, repeat: int = 1,
+                    scale_div: Optional[float] = None):
+        """Append ``repeat`` copies of each masked row at [count, ...) —
+        fully traced (gather-based, no dynamic shapes). Used for clone
+        (repeat=1) and split (repeat=n, jittered positions, scales/0.8n;
+        gaussian_cloud_splatam.py:153-256). Returns (params, count)."""
+        G = self.config.max_gaussians
+        n_set = jnp.sum(mask.astype(jnp.int32))
+        n_new = jnp.minimum(n_set * repeat, G - count)
+        # stable list of source rows: masked rows first, original order
+        srcs = jnp.argsort(jnp.where(mask, jnp.arange(G), G))
+        j = jnp.arange(G)
+        rel = j - count  # destination-relative index
+        slot = jnp.clip(rel // repeat, 0, G - 1)
+        src = srcs[slot]
+        use = (rel >= 0) & (rel < n_new)
+        new_params = dict(params)
+        for k_ in ("means3D", "rgb_colors", "unnorm_rotations",
+                   "logit_opacities", "log_scales"):
+            copied = params[k_][src]
+            new_params[k_] = jnp.where(use[:, None], copied, params[k_])
+        if scale_div is not None:
+            # split: jitter positions by the parent's scale, shrink scales
+            scales = jnp.exp(params["log_scales"][src, 0])
+            noise = jax.random.normal(key, (G, 3)) * scales[:, None]
+            quats = params["unnorm_rotations"][src]
+            quats = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-8)
+            rot = jax.vmap(lie.quaternion_to_matrix)(quats)
+            offset = jnp.einsum("nij,nj->ni", rot, noise)
+            new_params["means3D"] = jnp.where(
+                use[:, None], new_params["means3D"] + offset, new_params["means3D"])
+            new_params["log_scales"] = jnp.where(
+                use[:, None],
+                new_params["log_scales"] - float(np.log(scale_div)),
+                new_params["log_scales"])
+        dead = jnp.where(use, False, dead)
+        return new_params, dead, count + n_new

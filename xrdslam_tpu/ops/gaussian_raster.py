@@ -108,6 +108,65 @@ def bin_gaussians(
     return TileBinning(ids_out, mask_out, ntx, nty)
 
 
+def bin_gaussians_device(
+    u, v, depth, radius, alive, height: int, width: int,
+    k_per_tile: int = 256, margin: float = 8.0, max_span: int = 4,
+):
+    """Device-side tile binning (jittable): same semantics as
+    :func:`bin_gaussians` but built with one sort + one unique-index
+    scatter, so binning runs inside the per-frame device program instead
+    of a host round trip (fetch projections -> numpy lexsort -> upload:
+    ~300 ms/frame on the 1-core host, the round-1 SplaTAM bottleneck).
+
+    Returns (tile_ids [n_tiles, K] int32, tile_mask [n_tiles, K] bool).
+    """
+    ntx = (width + TILE - 1) // TILE
+    nty = (height + TILE - 1) // TILE
+    n_tiles = ntx * nty
+    G = u.shape[0]
+    S = max_span * max_span
+    valid = (alive > 0) & (depth > 0.01) & jnp.isfinite(u) & jnp.isfinite(v) & (radius > 0)
+    rr = radius + margin
+    inside = (u + rr >= 0) & (u - rr < width) & (v + rr >= 0) & (v - rr < height)
+    valid = valid & inside
+    # depth rank (front-to-back compositing order)
+    order = jnp.argsort(jnp.where(valid, depth, jnp.inf))  # [G]
+    uu = u[order]
+    vv = v[order]
+    rro = rr[order]
+    val_o = valid[order]
+    x0 = jnp.clip(((uu - rro) // TILE).astype(jnp.int32), 0, ntx - 1)
+    x1 = jnp.clip(((uu + rro) // TILE).astype(jnp.int32), 0, ntx - 1)
+    y0 = jnp.clip(((vv - rro) // TILE).astype(jnp.int32), 0, nty - 1)
+    y1 = jnp.clip(((vv + rro) // TILE).astype(jnp.int32), 0, nty - 1)
+    x1 = jnp.minimum(x1, x0 + max_span - 1)
+    y1 = jnp.minimum(y1, y0 + max_span - 1)
+    dx = jnp.arange(max_span, dtype=jnp.int32)
+    tx = x0[:, None, None] + dx[None, None, :]
+    ty = y0[:, None, None] + dx[None, :, None]
+    ok = (tx <= x1[:, None, None]) & (ty <= y1[:, None, None]) & val_o[:, None, None]
+    tiles = jnp.where(ok, ty * ntx + tx, n_tiles).reshape(-1)  # [G*S]
+    ranks = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, S)).reshape(-1)
+    gids = jnp.broadcast_to(order[:, None].astype(jnp.int32), (G, S)).reshape(-1)
+    # one sort by (tile, depth rank); rank order is preserved within a tile
+    key = tiles.astype(jnp.int64) * G + ranks
+    sort_idx = jnp.argsort(key)
+    tiles_s = tiles[sort_idx]
+    gids_s = gids[sort_idx]
+    # position within each tile
+    starts = jnp.searchsorted(tiles_s, jnp.arange(n_tiles, dtype=jnp.int32))
+    pos = jnp.arange(G * S, dtype=jnp.int32) - starts[jnp.clip(tiles_s, 0, n_tiles - 1)].astype(jnp.int32)
+    keep = (tiles_s < n_tiles) & (pos >= 0) & (pos < k_per_tile)
+    # out-of-range dests are dropped; kept dests are unique by construction
+    dest = jnp.where(keep, tiles_s * k_per_tile + pos, n_tiles * k_per_tile)
+    flat_ids = jnp.zeros(n_tiles * k_per_tile, jnp.int32).at[dest].set(
+        gids_s, mode="drop", unique_indices=True)
+    flat_mask = jnp.zeros(n_tiles * k_per_tile, jnp.bool_).at[dest].set(
+        keep, mode="drop", unique_indices=True)
+    return (flat_ids.reshape(n_tiles, k_per_tile),
+            flat_mask.reshape(n_tiles, k_per_tile))
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
