@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from .pl_compat import pallas_call as _pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_scatter import scatter_add_matmul
@@ -149,7 +151,8 @@ def bin_gaussians_device(
     ranks = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, S)).reshape(-1)
     gids = jnp.broadcast_to(order[:, None].astype(jnp.int32), (G, S)).reshape(-1)
     # one sort by (tile, depth rank); rank order is preserved within a tile
-    key = tiles.astype(jnp.int64) * G + ranks
+    assert (n_tiles + 1) * G < 2**31, "tile-sort key overflows int32"
+    key = tiles * G + ranks
     sort_idx = jnp.argsort(key)
     tiles_s = tiles[sort_idx]
     gids_s = gids[sort_idx]
@@ -337,7 +340,7 @@ def _raster_fwd_impl(u, v, sigma, opacity, channels, tile_ids_mask, ntx, nty):
     tile_ids, tile_mask = tile_ids_mask
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
     n_tiles, _, K = tiled.shape
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_fwd_kernel, ntx=ntx),
         grid=(n_tiles,),
         in_specs=[
@@ -361,7 +364,7 @@ def _raster_bwd(ntx, nty, res, gout):
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
     n_tiles, _, K = tiled.shape
     gt = gout.reshape(nty, TILE, ntx, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE * TILE, N_CH)
-    dg = pl.pallas_call(
+    dg = _pallas_call(
         functools.partial(_bwd_kernel, ntx=ntx),
         grid=(n_tiles,),
         in_specs=[

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from .pl_compat import pallas_call as _pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 from .encodings import _CORNER_OFFSETS, _PRIMES, HashGridSpec, hashgrid_encode
@@ -162,7 +164,7 @@ def _dtable_pallas(x: jnp.ndarray, g: jnp.ndarray, spec: HashGridSpec) -> jnp.nd
         ],
         out_specs=pl.BlockSpec((1, spec.n_features, s_rows, 128), lambda l, i, *_: (l, 0, 0, 0)),
     )
-    dplanes = pl.pallas_call(
+    dplanes = _pallas_call(
         functools.partial(_dtable_kernel, spec=spec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((spec.n_levels, spec.n_features, s_rows, 128), jnp.float32),
@@ -262,7 +264,7 @@ def _encode_kernelized(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec):
     xT = _pad_lanes(xc.T, n)  # [3, Np]
     featsP = _pad_lanes(feats, n)
     np_ = xT.shape[-1]
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_trilerp_fwd_kernel, spec=spec),
         grid=(np_ // BN,),
         in_specs=[
@@ -281,7 +283,7 @@ def _dx_kernelized(x: jnp.ndarray, feats: jnp.ndarray, g: jnp.ndarray, spec: Has
     featsP = _pad_lanes(feats, n)
     gT = _pad_lanes(g.T.astype(jnp.float32), n)
     np_ = xT.shape[-1]
-    dxT = pl.pallas_call(
+    dxT = _pallas_call(
         functools.partial(_trilerp_bwd_kernel, spec=spec),
         grid=(np_ // BN,),
         in_specs=[

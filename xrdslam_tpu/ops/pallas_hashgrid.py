@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from .pl_compat import pallas_call as _pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 from .encodings import _PRIMES, HashGridSpec
@@ -200,7 +202,7 @@ def _forward(planes, x, spec):
     xf = x.reshape(-1, 3).astype(jnp.float32)
     xf, n = _pad_to_block(xf)
     grid = (xf.shape[0] // BLK,)
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_fwd_kernel, spec=spec),
         grid=grid,
         in_specs=[
@@ -225,7 +227,7 @@ def _bwd_rule(spec, res, g):
     xf, n = _pad_to_block(xf)
     gf, _ = _pad_to_block(gf)
     grid = (xf.shape[0] // BLK,)
-    dx, dplanes = pl.pallas_call(
+    dx, dplanes = _pallas_call(
         functools.partial(_bwd_kernel, spec=spec),
         grid=grid,
         in_specs=[

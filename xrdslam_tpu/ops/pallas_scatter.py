@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from .pl_compat import pallas_call as _pallas_call
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 256
@@ -82,7 +84,7 @@ def scatter_add_matmul(idx: jnp.ndarray, g: jnp.ndarray, num_rows: int) -> jnp.n
     else:
         s_rows = _ceil_to(s_rows, r_blk)
         n_row_blocks = s_rows // r_blk
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_scatter_kernel, C=C, r_blk=r_blk),
         grid=(n_row_blocks, idx.shape[0] // BLK),
         in_specs=[
