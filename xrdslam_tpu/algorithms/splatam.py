@@ -144,8 +144,8 @@ class SplaTAM(Algorithm):
         self._track_step_raw = track_step
         self._track_variants: Dict[Tuple, Any] = {}
 
-        def map_step(params, dead, count, images, w2cs, tiles, mask, key,
-                     *, n_frames, n_iters, ntx, nty, densify: bool):
+        def map_step(params, dead, count, images, w2cs, tiles, mask, n_valid,
+                     key, *, n_iters, ntx, nty, densify: bool):
             opt = GroupOptimizers({g: self._opt_cfgs[g] for g in GAUSS_GROUPS})
             opt_state = opt.init({g: params[g] for g in GAUSS_GROUPS})
             gparams = {g: params[g] for g in GAUSS_GROUPS}
@@ -157,7 +157,10 @@ class SplaTAM(Algorithm):
                 gp, opt_state, dead, count, accum, denom, tiles, mask = carry
                 it, k = inp
                 k_fi, k_split = jax.random.split(k)
-                fi = jax.random.randint(k_fi, (), 0, n_frames)
+                # window is padded to a STATIC mapping_window_size (one
+                # compiled program for every window length); sampling is
+                # bounded by the traced n_valid so pads are never picked
+                fi = jax.random.randint(k_fi, (), 0, n_valid)
                 img = images[fi]
                 w2c = w2cs[fi]
                 tile = tiles[fi]
@@ -292,8 +295,12 @@ class SplaTAM(Algorithm):
         pts, cols, scales = self.model.pointcloud_from_depth(cur_frame.rgb, cur_frame.depth, c2w, mask)
         self.params = self.model.add_gaussians(self.params, pts, cols, scales)
 
-        # --- window (overlap selection over keyframes + cur) -------------
+        # --- window (overlap selection over keyframes + cur), padded to a
+        # STATIC mapping_window_size by repeating the current frame so all
+        # window lengths share ONE compiled mapping program ---------------
         frames = self._select_window(cur_frame)
+        n_valid = len(frames)
+        frames = frames + [cur_frame] * (cfg.mapping_window_size - n_valid)
         images = jnp.stack(
             [jnp.concatenate([jnp.asarray(f.rgb), jnp.asarray(f.depth)[..., None]], -1) for f in frames]
         )
@@ -304,14 +311,15 @@ class SplaTAM(Algorithm):
         nty = (self.camera.height + 15) // 16
         n_iters = cfg.mapping_first_n_iters if first else cfg.mapping_n_iters
         densify = bool(cfg.mapping_use_gaussian_splatting_densification)
-        sig = (len(frames), n_iters, ntx, nty, densify)
+        sig = (n_iters, ntx, nty, densify)
         if sig not in self._map_variants:
             self._map_variants[sig] = jax.jit(
-                functools.partial(self._map_step_raw, n_frames=len(frames),
+                functools.partial(self._map_step_raw,
                                   n_iters=n_iters, ntx=ntx, nty=nty, densify=densify)
             )
         gparams, self.dead, new_count, _ = self._map_variants[sig](
-            self.params, self.dead, count, images, w2cs, tiles, masks, self._next_key()
+            self.params, self.dead, count, images, w2cs, tiles, masks,
+            jnp.asarray(n_valid, jnp.int32), self._next_key()
         )
         self.params.update(gparams)
         self.model.n_gauss = int(jax.device_get(new_count))
