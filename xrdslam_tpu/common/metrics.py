@@ -38,12 +38,8 @@ def _filter2d(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     return np.einsum("ij...ab,ab->ij...", win, k)
 
 
-def ssim(pred: np.ndarray, target: np.ndarray, data_range: float = 1.0) -> float:
-    """Single-scale SSIM, 11x11 Gaussian window, C1/C2 per Wang et al."""
-    p = np.asarray(pred, np.float64)
-    t = np.asarray(target, np.float64)
-    if p.ndim == 2:
-        p, t = p[..., None], t[..., None]
+def _ssim_cs(p: np.ndarray, t: np.ndarray, data_range: float) -> tuple:
+    """(mean SSIM, mean contrast-structure) over an 11x11 Gaussian window."""
     k = _gaussian_window()
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
@@ -55,8 +51,50 @@ def ssim(pred: np.ndarray, target: np.ndarray, data_range: float = 1.0) -> float
     var_p = mu_pp - mu_p**2
     var_t = mu_tt - mu_t**2
     cov = mu_pt - mu_p * mu_t
-    s = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / ((mu_p**2 + mu_t**2 + c1) * (var_p + var_t + c2))
-    return float(s.mean())
+    cs = (2 * cov + c2) / (var_p + var_t + c2)
+    s = ((2 * mu_p * mu_t + c1) / (mu_p**2 + mu_t**2 + c1)) * cs
+    return float(s.mean()), float(cs.mean())
+
+
+def ssim(pred: np.ndarray, target: np.ndarray, data_range: float = 1.0) -> float:
+    """Single-scale SSIM, 11x11 Gaussian window, C1/C2 per Wang et al."""
+    p = np.asarray(pred, np.float64)
+    t = np.asarray(target, np.float64)
+    if p.ndim == 2:
+        p, t = p[..., None], t[..., None]
+    return _ssim_cs(p, t, data_range)[0]
+
+
+def _avg_pool2(x: np.ndarray) -> np.ndarray:
+    h, w = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+    x = x[:h, :w]
+    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+
+
+def ms_ssim(pred: np.ndarray, target: np.ndarray, data_range: float = 1.0) -> float:
+    """Multi-scale SSIM (Wang et al. 2003), 5 scales, standard weights —
+    the reference's 2D metric uses pytorch_msssim.ms_ssim
+    (slam/common/common.py:475-480). Contrast-structure terms at the 4
+    coarser-to-finer scales, full SSIM (with luminance) only at the
+    coarsest; 2x2 average-pool downsampling between scales. Falls back to
+    fewer scales when the image is too small for 5 halvings."""
+    weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+    p = np.asarray(pred, np.float64)
+    t = np.asarray(target, np.float64)
+    if p.ndim == 2:
+        p, t = p[..., None], t[..., None]
+    levels = int(len(weights))
+    while levels > 1 and min(p.shape[0], p.shape[1]) // 2 ** (levels - 1) < 11:
+        levels -= 1
+    w = weights[:levels] / weights[:levels].sum() if levels < len(weights) else weights
+    vals = []
+    for i in range(levels):
+        s, cs = _ssim_cs(p, t, data_range)
+        vals.append(s if i == levels - 1 else cs)
+        if i != levels - 1:
+            p, t = _avg_pool2(p), _avg_pool2(t)
+    vals = np.clip(np.asarray(vals), 1e-6, None)
+    return float(np.prod(vals ** w))
 
 
 def depth_l1(pred: np.ndarray, target: np.ndarray, mask: Optional[np.ndarray] = None) -> float:
@@ -70,7 +108,24 @@ def depth_l1(pred: np.ndarray, target: np.ndarray, mask: Optional[np.ndarray] = 
 
 
 def lpips(pred: np.ndarray, target: np.ndarray) -> float:
-    """LPIPS(alex) if pretrained weights are available locally, else NaN."""
+    """LPIPS(alex) if pretrained weights are available locally, else NaN.
+
+    Preferred path: the in-package JAX architecture (ops/lpips.py) fed by
+    converted torch weights ($XRDSLAM_LPIPS_WEIGHTS); falls back to
+    torchmetrics (which downloads weights when networked)."""
+    try:
+        from ..ops.lpips import get_pretrained, lpips_apply
+
+        params = get_pretrained()
+        if params is not None:
+            import jax.numpy as jnp
+
+            return float(lpips_apply(
+                params,
+                jnp.clip(jnp.asarray(pred, jnp.float32), 0, 1),
+                jnp.clip(jnp.asarray(target, jnp.float32), 0, 1)))
+    except Exception:
+        pass
     try:
         import torch
         from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity

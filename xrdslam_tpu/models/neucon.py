@@ -215,7 +215,6 @@ def unet3d_init(key, cin: int, cr: float) -> Dict:
         return p
 
     return {
-        "cs": cs,
         "stem": _conv3d_init(ks[0], cin, cs[0], 3),
         "down1": _conv3d_init(ks[1], cs[0], cs[0], 2),
         "r1a": res(ks[2], cs[0], cs[1]),
@@ -377,16 +376,19 @@ class NeuCon:
                     prev_occ, 2, 0), 2, 1), 2, 2)
             else:
                 up_occ = jnp.ones((dim, dim, dim), bool)
-            active = up_occ & (count.reshape(dim, dim, dim) > 0)
-            vol = vol * active[..., None]
+            vis = count.reshape(dim, dim, dim) > 0
+            vol = vol * (up_occ & vis)[..., None]
             feat = unet3d_apply(params[f"unet{i}"], vol)
             # GRU fusion with the global hidden crop (gru_fusion forward)
             h = convgru_apply(params[f"gru{i}"], hiddens[i], feat)
             new_hiddens.append(h)
             tsdf = jnp.tanh(h @ params[f"tsdf{i}"]["w"] + params[f"tsdf{i}"]["b"])[..., 0] * 1.05
             occ = (h @ params[f"occ{i}"]["w"] + params[f"occ{i}"]["b"])[..., 0]
-            # FUSION.FULL: grid_mask -> all ones (neucon_network.py:193-194)
-            occupancy = (occ > cfg.thresholds[i]) & active
+            # FUSION.FULL: grid_mask -> all ones (neucon_network.py:193-194),
+            # so the cascade gates on the predicted occupancy ONLY — the
+            # back-projection count must not mask it (doing so lets the net
+            # collapse the fine levels' supervision to an empty set)
+            occupancy = (occ > cfg.thresholds[i]) & up_occ
             del grid_mask
             if i == cfg.n_layer - 1:
                 tsdf_out = jnp.where(occupancy, tsdf, 1.0)
@@ -424,8 +426,8 @@ class NeuCon:
                 up_occ = jnp.repeat(jnp.repeat(jnp.repeat(prev_occ, 2, 0), 2, 1), 2, 2)
             else:
                 up_occ = jnp.ones((dim, dim, dim), bool)
-            active = up_occ & (count.reshape(dim, dim, dim) > 0)
-            vol = vol * active[..., None]
+            vis = count.reshape(dim, dim, dim) > 0
+            vol = vol * (up_occ & vis)[..., None]
             feat = unet3d_apply(params[f"unet{i}"], vol)
             h = convgru_apply(params[f"gru{i}"], hiddens[i], feat)
             tsdf = jnp.tanh(h @ params[f"tsdf{i}"]["w"] + params[f"tsdf{i}"]["b"])[..., 0] * 1.05
@@ -433,7 +435,10 @@ class NeuCon:
 
             occ_t = occ_targets[i]
             tsdf_t = tsdf_targets[i]
-            mask = active.astype(jnp.float32)
+            # FUSION.FULL loss mask: the level's (predicted) active set with
+            # grid_mask all-ones (neucon_network.py:193-205) — NOT gated by
+            # back-projection visibility
+            mask = up_occ.astype(jnp.float32)
             n_all = jnp.maximum(mask.sum(), 1.0)
             n_p = jnp.maximum((occ_t * mask).sum(), 1.0)
             w1 = (n_all - n_p) / n_p * cfg.pos_weight
@@ -449,7 +454,7 @@ class NeuCon:
             tsdf_loss = jnp.sum(jnp.abs(logt(tsdf) - logt(tsdf_t)) * om) / n_p
             total = total + lw[i] * (occ_loss + tsdf_loss)
 
-            occupancy = (occ > cfg.thresholds[i]) & active
+            occupancy = (occ > cfg.thresholds[i]) & up_occ
             prev_feat = jnp.concatenate([h, tsdf[..., None], occ[..., None]], -1)
             prev_occ = occupancy
         return total

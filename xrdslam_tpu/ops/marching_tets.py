@@ -103,22 +103,28 @@ def marching_tetrahedra(
 def _marching_tets_native(lib, volume, level, origin, spacing, mask):
     vol = np.ascontiguousarray(volume, np.float32)
     nx, ny, nz = vol.shape
-    # surface cells are a few % of the volume; 6 tris/cell worst case
-    max_tris = max(int(nx * ny * nz * 0.25), 1 << 16)
-    out = np.empty((max_tris, 9), np.float32)
     org = np.asarray(origin, np.float64)
     spc = np.asarray(spacing, np.float64)
     m = None
     if mask is not None:
         m = np.ascontiguousarray(mask.astype(np.uint8))
-    n = lib.marching_tets(
-        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz,
-        ctypes.c_float(level),
-        org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        spc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        m.ctypes.data if m is not None else None,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_tris,
-    )
+    # surface cells are a few % of the volume in typical scenes; the C++
+    # side STOPS at max_tris (truncating the sweep mid-volume), so retry
+    # with a larger budget whenever the buffer saturates
+    max_tris = max(int(nx * ny * nz * 0.25), 1 << 16)
+    while True:
+        out = np.empty((max_tris, 9), np.float32)
+        n = lib.marching_tets(
+            vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz,
+            ctypes.c_float(level),
+            org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            spc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            m.ctypes.data if m is not None else None,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_tris,
+        )
+        if n < max_tris:
+            break
+        max_tris *= 4
     if n == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
     tris = out[:n].reshape(-1, 3, 3)

@@ -61,6 +61,9 @@ class SLAMPipelineConfig(InstantiateConfig):
     mapper: MapperConfig = field(default_factory=MapperConfig)
     algorithm: InstantiateConfig = field(default_factory=InstantiateConfig)
     enable_vis: bool = False
+    # live-visualizer cadence: render/metric panel every render_freq frames
+    # (tracker gate), mesh/cloud snapshots every vis_mesh_freq frames
+    vis_mesh_freq: int = 50
     device: str = "tpu"
 
 
@@ -75,6 +78,11 @@ class SLAMPipeline:
         for sub in ("mesh", "cloud", "imgs"):
             os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
         self.frame_times = []
+        self.vis = None
+        if config.enable_vis:
+            from .visualizer import VisualizerConfig
+
+            self.vis = VisualizerConfig().setup(out_dir=out_dir)
 
     # ------------------------------------------------------------------
     def predict_current_pose(self, frame_id: int, gt_c2w: np.ndarray) -> np.ndarray:
@@ -152,6 +160,7 @@ class SLAMPipeline:
             and hasattr(algo, "dispatch_superstep")
             and cfg_t.lazy_start < 0
             and not (cfg_t.save_debug_result and cfg_t.render_freq > 0)
+            and self.vis is None  # live viz needs per-frame results
             and cfg_m.keyframe_every % group == 0
         )
 
@@ -248,6 +257,33 @@ class SLAMPipeline:
             frame.set_pose(candidate)
         algo.add_framepose(frame.get_pose(), gt_c2w, gt_c2w_ori)
 
+        # live visualizer stream (reference tracker.py:201-223: 'pose'
+        # every frame; 'img'/'mesh'/'cloud' every render_freq / mesh cadence)
+        if self.vis is not None:
+            self.vis.push("pose", (frame.get_pose(), gt_c2w))
+            if (
+                algo.is_initialized()
+                and cfg_t.render_freq > 0
+                and (i % cfg_t.render_freq == 0 or frame.is_final_frame)
+            ):
+                color, depth_r = algo.render_img(frame.get_pose(), gt_depth=depth, idx=i)
+                if color is not None:
+                    self.vis.push("img", (i, rgb, depth, color, depth_r))
+            vmf = self.config.vis_mesh_freq
+            if algo.is_initialized() and vmf > 0 and i > 0 and i % vmf == 0:
+                try:
+                    mesh = algo.get_mesh()
+                    if mesh is not None:
+                        self.vis.push("mesh", (i, mesh))
+                except NotImplementedError:
+                    pass
+                try:
+                    pc = algo.get_cloud(frame.get_pose(), depth)
+                    if pc is not None:
+                        self.vis.push("cloud", (i, pc[0], pc[1]))
+                except NotImplementedError:
+                    pass
+
         # mapping gate (reference: tracker.py:171-183)
         map_every = 1 if i <= cfg_t.lazy_start else cfg_t.map_every
         if map_every != -1 and (i % map_every == 0 or frame.is_final_frame):
@@ -282,6 +318,8 @@ class SLAMPipeline:
 
     # ------------------------------------------------------------------
     def _finish_run(self) -> None:
+        if self.vis is not None:
+            self.vis.close()
         self.save_eval_tar()
         from ..engine.profiling import timing_summary
 
@@ -336,7 +374,8 @@ class SLAMPipeline:
         algo = self.algorithm
         est = algo.estimate_c2w_list
         freq = max(self.config.tracker.render_freq, 1)
-        sums = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0, "depth_l1": 0.0}
+        sums = {"psnr": 0.0, "ssim": 0.0, "ms_ssim": 0.0, "lpips": 0.0,
+                "depth_l1": 0.0}
         cnt = 0
         for i in range(0, len(est), freq):
             _, gt_rgb, gt_depth, _ = self.dataset[i]
@@ -346,6 +385,7 @@ class SLAMPipeline:
             mask = gt_depth > 0
             sums["psnr"] += M.psnr(color, gt_rgb, mask)
             sums["ssim"] += M.ssim(color, gt_rgb)
+            sums["ms_ssim"] += M.ms_ssim(color, gt_rgb)
             sums["lpips"] += M.lpips(color, gt_rgb)
             sums["depth_l1"] += M.depth_l1(depth, gt_depth, mask) * 100.0
             cnt += 1

@@ -54,6 +54,10 @@ def ate_rmse(gt_xyz: np.ndarray, est_xyz: np.ndarray, correct_scale: bool = Fals
         "min": float(np.min(err)),
         "max": float(np.max(err)),
         "scale": s,
+        # est->gt alignment, reused to pre-align the reconstructed mesh for
+        # 3D metrics (reference: scripts/eval.py:59-66)
+        "rot": R.tolist(),
+        "trans": t.reshape(-1).tolist(),
     }
 
 
