@@ -54,3 +54,44 @@ def test_resume_mid_run():
     pipe2 = _cfg(bound).setup(dataset=ds, out_dir=out, verbose=False)
     pipe2.run(resume=True)
     assert len(pipe2.algorithm.estimate_c2w_list) == len(ds)
+
+
+def test_checkpoint_guards(tmp_path):
+    """Version/algorithm mismatch fails loudly; unknown attrs are skipped
+    (round-2 hardening)."""
+    import pickle
+
+    import pytest
+
+    from xrdslam_tpu.engine.checkpoint import (CKPT_VERSION, load_checkpoint,
+                                               save_checkpoint)
+
+    class Dummy:
+        initialized = False
+
+    d = Dummy()
+    path = str(tmp_path / "ck.pkl")
+    save_checkpoint(path, d, 3)
+    assert not (tmp_path / "ck.pkl.tmp").exists()  # atomic rename
+    assert load_checkpoint(path, Dummy()) == 3
+
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    state["version"] = CKPT_VERSION + 1
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+    with pytest.raises(ValueError, match="version"):
+        load_checkpoint(path, Dummy())
+
+    state["version"] = CKPT_VERSION
+    state["algorithm"] = "SomethingElse"
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+    with pytest.raises(ValueError, match="SomethingElse"):
+        load_checkpoint(path, Dummy())
+
+    state["algorithm"] = "Dummy"
+    state["attrs"]["not_an_attr"] = 42
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+    assert load_checkpoint(path, Dummy()) == 3  # skips, does not crash

@@ -27,6 +27,7 @@ _STATE_ATTRS = [
     "model_params",
     "model_opt_state",
     "params",  # splatam
+    "dead",  # splatam in-scan prune mask
     "kf_rays",
     "kf_images",
     "kf_pose",
@@ -58,8 +59,16 @@ def _to_device(tree: Any) -> Any:
     )
 
 
+CKPT_VERSION = 2
+
+
 def save_checkpoint(path: str, algorithm: Any, frame_idx: int) -> None:
-    state: Dict[str, Any] = {"frame_idx": frame_idx, "attrs": {}}
+    state: Dict[str, Any] = {
+        "version": CKPT_VERSION,
+        "algorithm": type(algorithm).__name__,
+        "frame_idx": frame_idx,
+        "attrs": {},
+    }
     for attr in _STATE_ATTRS:
         if hasattr(algorithm, attr):
             state["attrs"][attr] = _to_host(getattr(algorithm, attr))
@@ -69,16 +78,37 @@ def save_checkpoint(path: str, algorithm: Any, frame_idx: int) -> None:
             if hasattr(algorithm.model, mattr):
                 state.setdefault("model_attrs", {})[mattr] = getattr(algorithm.model, mattr)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic write: a crash mid-save must not corrupt the resume file
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(state, f)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, algorithm: Any) -> int:
     """Restore state into a freshly constructed algorithm; returns the frame
-    index to resume from."""
+    index to resume from.
+
+    Tolerant partial load: checkpoint attrs the current algorithm lacks are
+    skipped with a warning (forward-compatible across attribute renames);
+    a version/algorithm mismatch fails loudly instead of restoring
+    half-compatible state."""
     with open(path, "rb") as f:
         state = pickle.load(f)
+    ver = state.get("version", 1)
+    if ver > CKPT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} is version {ver}; this build supports "
+            f"<= {CKPT_VERSION}")
+    algo_name = state.get("algorithm")
+    if algo_name is not None and algo_name != type(algorithm).__name__:
+        raise ValueError(
+            f"checkpoint {path} was written by {algo_name}, refusing to "
+            f"restore into {type(algorithm).__name__}")
     for attr, val in state["attrs"].items():
+        if not hasattr(algorithm, attr):
+            print(f"[checkpoint] skipping unknown attr {attr!r}", flush=True)
+            continue
         if attr in ("kf_count", "keyframe_fids", "estimate_c2w_list", "gt_c2w_list", "gt_c2w_list_ori",
                     "initialized", "vox_map", "point_map", "kf_frames"):
             setattr(algorithm, attr, val)

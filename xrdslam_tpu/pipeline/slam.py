@@ -64,6 +64,9 @@ class SLAMPipelineConfig(InstantiateConfig):
     # live-visualizer cadence: render/metric panel every render_freq frames
     # (tracker gate), mesh/cloud snapshots every vis_mesh_freq frames
     vis_mesh_freq: int = 50
+    # first-class jax.profiler capture: "A-B" records frames [A, B) into
+    # <out_dir>/jax_trace (view with TensorBoard/Perfetto); "" disables
+    profile_trace_frames: str = ""
     device: str = "tpu"
 
 
@@ -164,8 +167,25 @@ class SLAMPipeline:
             and cfg_m.keyframe_every % group == 0
         )
 
+        trace_lo = trace_hi = -1
+        if self.config.profile_trace_frames:
+            lo, _, hi = self.config.profile_trace_frames.partition("-")
+            trace_lo, trace_hi = int(lo), int(hi or (int(lo) + 1))
+        tracing = False
+
         i = start
         while i < n:
+            if trace_lo >= 0 and not tracing and i >= trace_lo and i < trace_hi:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(self.out_dir, "jax_trace"))
+                tracing = True
+            if tracing and i >= trace_hi:
+                import jax
+
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"[slam] jax trace saved to {self.out_dir}/jax_trace", flush=True)
             if (
                 use_super
                 and i % group == 0
@@ -180,6 +200,11 @@ class SLAMPipeline:
             else:
                 self._frame_step(i, n)
                 i += 1
+        if tracing:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[slam] jax trace saved to {self.out_dir}/jax_trace", flush=True)
         self._finish_run()
 
     # ------------------------------------------------------------------
