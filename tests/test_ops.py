@@ -181,3 +181,30 @@ def test_rgb_depth_losses_with_padding_mask():
     )
     np.testing.assert_allclose(float(full[0]), float(padded[0]), rtol=1e-5)
     np.testing.assert_allclose(float(full[1]), float(padded[1]), rtol=1e-5)
+
+
+def test_spherical_harmonics_encoding():
+    """tcnn-parity SH basis: shape per degree, band-energy rotation
+    invariance on unit vectors, exact l=0/1 values."""
+    import numpy as np
+
+    from xrdslam_tpu.ops.encodings import spherical_harmonics_encode
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    for degree, n in ((1, 1), (2, 4), (3, 9), (4, 16)):
+        out = np.asarray(spherical_harmonics_encode(d, degree))
+        assert out.shape == (256, n)
+    out = np.asarray(spherical_harmonics_encode(d, 4))
+    np.testing.assert_allclose(out[:, 0], 0.28209479177387814)
+    np.testing.assert_allclose(out[:, 1], -0.48860251190291987 * np.asarray(d)[:, 1], rtol=1e-5)
+    # sum of squares within each band is rotation invariant: (2l+1)/(4 pi)
+    for lo, hi, l in ((0, 1, 0), (1, 4, 1), (4, 9, 2), (9, 16, 3)):
+        e = (out[:, lo:hi] ** 2).sum(-1)
+        np.testing.assert_allclose(e, (2 * l + 1) / (4 * np.pi), rtol=1e-4)
+    # unit-cube input convention: [0,1]^3 -> [-1,1]^3
+    cube = (d + 1.0) / 2.0
+    out2 = np.asarray(spherical_harmonics_encode(cube, 4, from_unit_cube=True))
+    np.testing.assert_allclose(out2, out, atol=1e-5)

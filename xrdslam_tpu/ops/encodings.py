@@ -169,3 +169,43 @@ def frequency_encode(x: jnp.ndarray, n_frequencies: int = 12, include_input: boo
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)
     return enc
+
+
+def spherical_harmonics_encode(d: jnp.ndarray, degree: int = 4,
+                               from_unit_cube: bool = False) -> jnp.ndarray:
+    """Real spherical-harmonics basis of a direction, tcnn parity.
+
+    The reference's encoder factory exposes tcnn's 'SphericalHarmonics'
+    (reference: slam/model_components/encodings_coslam.py:55-63) for view
+    directions. Coefficients and component ordering follow tinycudann's
+    sh_enc (degree <= 4 -> 16 outputs). ``from_unit_cube=True`` applies
+    tcnn's input convention (directions packed into [0,1]^3, mapped with
+    x*2-1 before evaluation).
+    """
+    if not 1 <= degree <= 4:
+        raise ValueError("degree must be in [1, 4]")
+    if from_unit_cube:
+        d = d * 2.0 - 1.0
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    x2, y2, z2 = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    out = [jnp.full_like(x, 0.28209479177387814)]
+    if degree >= 2:
+        out += [-0.48860251190291987 * y,
+                0.48860251190291987 * z,
+                -0.48860251190291987 * x]
+    if degree >= 3:
+        out += [1.0925484305920792 * xy,
+                -1.0925484305920792 * yz,
+                0.94617469575755997 * z2 - 0.31539156525251999,
+                -1.0925484305920792 * xz,
+                0.54627421529603959 * (x2 - y2)]
+    if degree >= 4:
+        out += [0.59004358992664352 * y * (-3.0 * x2 + y2),
+                2.8906114426405538 * xy * z,
+                0.45704579946446572 * y * (1.0 - 5.0 * z2),
+                0.3731763325901154 * z * (5.0 * z2 - 3.0),
+                0.45704579946446572 * x * (1.0 - 5.0 * z2),
+                1.4453057213202769 * z * (x2 - y2),
+                0.59004358992664352 * x * (x2 - 3.0 * y2)]
+    return jnp.stack(out, axis=-1)
