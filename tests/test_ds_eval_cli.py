@@ -48,6 +48,7 @@ def test_ds_eval_full_surface(tmp_path):
     with open(os.path.join(out, "eval_result.json")) as f:
         res = json.load(f)
     # every BASELINE.md column family is present
+    assert os.path.exists(os.path.join(out, "eval_ate_plot.png"))
     assert res["ate_rmse_cm"] < 1.0
     for k in ("accuracy_cm", "completion_cm", "completion_ratio_pct",
               "precision_pct", "recall_pct", "f1_pct",

@@ -37,6 +37,40 @@ def load_eval_tar(path: str) -> dict:
         return pickle.load(f)
 
 
+def _plot_ate(data: dict, res: dict, path: str) -> None:
+    """Aligned-trajectory plot (reference: scripts/utils/eval_ate.py plot
+    branch, :150-305): top-down aligned est vs gt with per-frame error
+    segments and the RMSE in the title."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        gt = np.stack([np.asarray(p)[:3, 3] for p in data["gt_c2w_list"]])
+        est = np.stack([np.asarray(p)[:3, 3] for p in data["estimate_c2w_list"]])
+        n = min(len(gt), len(est))
+        gt, est = gt[:n], est[:n]
+        R = np.asarray(res["rot"])
+        t = np.asarray(res["trans"])
+        s = res.get("scale", 1.0)
+        est_al = s * est @ R.T + t
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.plot(gt[:, 0], gt[:, 2], "k-", lw=1, label="ground truth")
+        ax.plot(est_al[:, 0], est_al[:, 2], "b-", lw=1, label="estimated")
+        for a, b in zip(gt, est_al):
+            ax.plot([a[0], b[0]], [a[2], b[2]], "r-", lw=0.4, alpha=0.5)
+        ax.legend()
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("z [m]")
+        ax.set_aspect("equal", adjustable="datalim")
+        ax.set_title(f"ATE RMSE {res['rmse'] * 100:.2f} cm")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    except Exception as e:
+        print(f"[ds-eval] ate plot skipped: {e}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="ds-eval", description="Evaluate SLAM outputs")
     p.add_argument("--output", type=str, required=True, help="outputs dir containing eval.tar")
@@ -51,6 +85,7 @@ def main(argv=None) -> None:
     data = load_eval_tar(os.path.join(args.output, "eval.tar"))
     res = evaluate_ate(data["gt_c2w_list"], data["estimate_c2w_list"], correct_scale=args.correct_scale)
     print(f"ate rmse: {res['rmse'] * 100:.4f} cm")
+    _plot_ate(data, res, os.path.join(args.output, "eval_ate_plot.png"))
 
     out = {"ate_rmse_cm": res["rmse"] * 100, **{k: v for k, v in res.items()}}
 
