@@ -461,17 +461,28 @@ class CoSLAM(Algorithm):
         return fn
 
     def dispatch_superstep(self, frames: List[Frame], do_kf: bool,
-                           prev_c2w: np.ndarray, prev2_c2w: np.ndarray):
+                           prev_c2w: np.ndarray = None, prev2_c2w: np.ndarray = None,
+                           prev_tr=None, prev2_tr=None):
         """Launch the fused group program (async). Requires is_initialized().
-        frames[0] is the group head (gets the mapping step)."""
+        frames[0] is the group head (gets the mapping step).
+
+        The two predecessor poses feed the constant-velocity model. Pass
+        either host matrices (``prev_c2w``/``prev2_c2w``) or — for
+        group-level software pipelining — ``prev_tr``/``prev2_tr`` device
+        ``(t, r)`` vectors straight from the previous group's output, so
+        this dispatch does NOT synchronize on the previous group."""
         from ..ops import lie_np
 
         group = len(frames)
         fn = self._get_super_step(group, do_kf)
         rgbs = jnp.stack([f.rgb_jax() for f in frames])
         depths = jnp.stack([f.depth_jax() for f in frames])
-        t1, r1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="axis_angle")
-        t2, r2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="axis_angle")
+        if prev_tr is not None:
+            t1, r1 = prev_tr
+            t2, r2 = prev2_tr
+        else:
+            t1, r1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="axis_angle")
+            t2, r2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="axis_angle")
         out = fn(
             self.model_params, self.model_opt_state, self.kf_rays,
             self.kf_pose_t, self.kf_pose_r, jnp.asarray(self.kf_count, jnp.int32),

@@ -143,6 +143,8 @@ class SLAMPipeline:
         n = len(self.dataset)
         self._first_pose_old = self._first_pose_new = None
         self._pending = {}
+        self._pending_super = None
+        self._last_group_done = None
         start = 0
         self._ckpt_path = os.path.join(self.out_dir, "checkpoint.pkl")
         if resume and os.path.exists(self._ckpt_path):
@@ -198,8 +200,10 @@ class SLAMPipeline:
             ):
                 i = self._super_group(i, n, group)
             else:
+                self._flush_super()  # per-frame work needs host poses current
                 self._frame_step(i, n)
                 i += 1
+        self._flush_super()
         if tracing:
             import jax
 
@@ -209,7 +213,15 @@ class SLAMPipeline:
 
     # ------------------------------------------------------------------
     def _super_group(self, i: int, n: int, group: int) -> int:
-        """Run frames [i, i+group) as one fused device program."""
+        """Dispatch frames [i, i+group) as one fused device program, then
+        finish (fetch + bookkeep) the PREVIOUS group while this one runs.
+
+        Group-level software pipelining: the constant-velocity seed for
+        this group is the previous group's pose output passed as DEVICE
+        arrays, so dispatch never synchronizes — the device runs
+        back-to-back group programs while the host fetches the lagging
+        group's poses, decodes the next group's frames, and uploads them.
+        """
         algo = self.algorithm
         cfg_t = self.config.tracker
         cfg_m = self.config.mapper
@@ -225,32 +237,59 @@ class SLAMPipeline:
                 fr._rgb_dev, fr._depth_dev = rgb_dev, depth_dev
             frames.append(fr)
 
-        from ..engine.profiling import phase_timer
-
-        with phase_timer("super_group"):
+        do_kf = i % cfg_m.keyframe_every == 0
+        if self._pending_super is None:
             est = algo.estimate_c2w_list
-            do_kf = i % cfg_m.keyframe_every == 0
             handle = algo.dispatch_superstep(frames, do_kf, est[i - 1], est[i - 2])
-            # overlap next group's host decode + device upload with the
-            # in-flight program, then pay ONE pose-fetch round trip
-            for j in range(i + group, min(i + 2 * group, n)):
-                self._prefetch_frame(j)
-            poses = algo.finish_superstep(handle)
-        for j, c2w in enumerate(poses):
-            algo.add_framepose(c2w, gts[j][0], gts[j][1])
-        dt = (time.time() - t0) / group
-        self.frame_times.extend([dt] * group)
+        else:
+            pt, pr = self._pending_super[2]
+            handle = algo.dispatch_superstep(
+                frames, do_kf, prev_tr=(pt[-1], pr[-1]), prev2_tr=(pt[-2], pr[-2]))
+        # overlap the next group's host decode + device upload with the
+        # in-flight programs
+        for j in range(i + group, min(i + 2 * group, n)):
+            self._prefetch_frame(j)
+        prev_pending = self._pending_super
+        self._pending_super = (i, gts, handle, t0)
+        if prev_pending is not None:
+            self._finish_group(prev_pending)
 
         if cfg_t.checkpoint_every > 0 and any(
             (i + j) % cfg_t.checkpoint_every == 0 for j in range(group)
         ):
             from ..engine.checkpoint import save_checkpoint
 
+            self._flush_super()  # checkpoint needs the full est list
             save_checkpoint(self._ckpt_path, algo, i + group - 1)
-        if self.verbose and (i // group) % 4 == 0:
+        if self.verbose and (i // group) % 4 == 0 and self.frame_times:
             fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
             print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
         return i + group
+
+    def _finish_group(self, pending) -> None:
+        """Fetch one dispatched group's poses and record bookkeeping."""
+        from ..engine.profiling import phase_timer
+
+        i, gts, (handle), t0 = pending
+        algo = self.algorithm
+        with phase_timer("super_group"):
+            poses = algo.finish_superstep(handle)
+        for j, c2w in enumerate(poses):
+            algo.add_framepose(c2w, gts[j][0], gts[j][1])
+        group = len(poses)
+        # steady-state throughput: time between consecutive group finishes
+        now = time.time()
+        t_ref = self._last_group_done if self._last_group_done is not None else t0
+        dt = max(now - t_ref, 1e-9) / group
+        self._last_group_done = now
+        self.frame_times.extend([dt] * group)
+
+    def _flush_super(self) -> None:
+        """Complete any in-flight group (host state catches up to device)."""
+        if self._pending_super is not None:
+            pending = self._pending_super
+            self._pending_super = None
+            self._finish_group(pending)
 
     # ------------------------------------------------------------------
     def _frame_step(self, i: int, n: int) -> None:
