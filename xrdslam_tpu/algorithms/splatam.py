@@ -240,6 +240,68 @@ class SplaTAM(Algorithm):
         self._map_step_raw = map_step
         self._map_variants: Dict[Tuple, Any] = {}
 
+        def grow_step(params, dead, count, rgb, depth, c2w, *, first: bool,
+                      ntx: int, nty: int):
+            """Boundary gaussian growth ON DEVICE (model_update,
+            gaussian_splatting.py:84-104 / gaussian_cloud_splatam.py:
+            258-305): render silhouette+depth, build the non-presence
+            mask, back-project masked pixels and scatter-append them —
+            no per-frame render fetch / host mask / re-upload."""
+            G = cfg.model.max_gaussians
+            w2c = lie.pose_inverse(c2w)
+            valid = depth > 0
+            if first:
+                mask = valid
+            else:
+                tiles, msk = binning(params, dead, count, w2c)
+                alive = model.alive_mask(dead, count)
+                out = model.render(params, alive, w2c, (tiles, msk), ntx, nty)
+                sil = out["sil"]
+                rdepth = out["depth"]
+                derr = jnp.abs(depth - rdepth) * valid
+                med = jnp.nanmedian(jnp.where(derr > 0, derr, jnp.nan))
+                med = jnp.where(jnp.isfinite(med), med, 0.0)
+                non_presence = (sil < cfg.mapping_sil_thres) | (
+                    (rdepth > depth) & (derr > 50.0 * med))
+                mask = non_presence & valid
+            ys, xs = jnp.meshgrid(
+                jnp.arange(cam.height, dtype=jnp.float32),
+                jnp.arange(cam.width, dtype=jnp.float32), indexing="ij")
+            dirs = jnp.stack([(xs - cam.cx) / cam.fx,
+                              -(ys - cam.cy) / cam.fy,
+                              -jnp.ones_like(xs)], -1)
+            pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T) * depth[..., None]
+            m = mask.reshape(-1)
+            pts = pts.reshape(-1, 3)
+            cols = rgb.reshape(-1, 3)
+            log_s = jnp.log(jnp.maximum(depth.reshape(-1) / model._f, 1e-6))
+            dest = count + jnp.cumsum(m.astype(jnp.int32)) - 1
+            ok = m & (dest < G)
+            dest = jnp.where(ok, dest, G)  # out of bounds -> dropped
+            params = dict(params)
+            params["means3D"] = params["means3D"].at[dest].set(
+                jnp.where(ok[:, None], pts, 0.0), mode="drop")
+            params["rgb_colors"] = params["rgb_colors"].at[dest].set(
+                jnp.where(ok[:, None], cols, 0.0), mode="drop")
+            params["logit_opacities"] = params["logit_opacities"].at[dest].set(
+                jnp.zeros((pts.shape[0], 1)), mode="drop")
+            params["log_scales"] = params["log_scales"].at[dest].set(
+                jnp.where(ok, log_s, 0.0)[:, None], mode="drop")
+            dead = dead.at[dest].set(False, mode="drop")
+            new_count = jnp.minimum(count + jnp.sum(ok).astype(jnp.int32), G)
+            return params, dead, new_count
+
+        self._grow_variants: Dict[Tuple, Any] = {}
+
+        def grow_jit(first: bool, ntx: int, nty: int):
+            sig = (first, ntx, nty)
+            if sig not in self._grow_variants:
+                self._grow_variants[sig] = jax.jit(functools.partial(
+                    grow_step, first=first, ntx=ntx, nty=nty))
+            return self._grow_variants[sig]
+
+        self._grow_jit = grow_jit
+
         def render_full(params, dead, count, w2c):
             tiles, mask = binning(params, dead, count, w2c)
             alive = model.alive_mask(dead, count)
@@ -276,28 +338,23 @@ class SplaTAM(Algorithm):
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config
         first = not self.is_initialized()
-        # --- gaussian growth (pre_precessing -> model_update) ------------
+        # --- gaussian growth (pre_precessing -> model_update), entirely on
+        # device: render+mask+backproject+scatter-append in ONE program ---
         c2w = cur_frame.get_pose()
-        w2c = np.linalg.inv(c2w)
         if first:
-            mask = cur_frame.depth > 0
             self.model.scene_radius = float(cur_frame.depth.max() / 3.0)
-        else:
-            count = jnp.asarray(self.model.n_gauss, jnp.int32)
-            out = self._render(self.params, self.dead, count, jnp.asarray(w2c, jnp.float32))
-            sil = np.asarray(out["sil"])
-            rdepth = np.asarray(out["depth"])
-            derr = np.abs(cur_frame.depth - rdepth) * (cur_frame.depth > 0)
-            med = np.median(derr[derr > 0]) if (derr > 0).any() else 0.0
-            non_presence = sil < cfg.mapping_sil_thres
-            non_presence |= (rdepth > cur_frame.depth) & (derr > 50 * med)
-            mask = non_presence & (cur_frame.depth > 0)
-        pts, cols, scales = self.model.pointcloud_from_depth(cur_frame.rgb, cur_frame.depth, c2w, mask)
-        self.params = self.model.add_gaussians(self.params, pts, cols, scales)
+        ntx = (self.camera.width + 15) // 16
+        nty = (self.camera.height + 15) // 16
+        count = jnp.asarray(self.model.n_gauss, jnp.int32)
+        self.params, self.dead, count = self._grow_jit(first, ntx, nty)(
+            self.params, self.dead, count, cur_frame.rgb_jax(),
+            cur_frame.depth_jax(), jnp.asarray(c2w, jnp.float32))
 
         # --- window (overlap selection over keyframes + cur), padded to a
         # STATIC mapping_window_size by repeating the current frame so all
-        # window lengths share ONE compiled mapping program ---------------
+        # window lengths share ONE compiled mapping program. The gaussian
+        # count stays a DEVICE scalar throughout (no host sync until the
+        # final bookkeeping fetch) ----------------------------------------
         frames = self._select_window(cur_frame)
         n_valid = len(frames)
         frames = frames + [cur_frame] * (cfg.mapping_window_size - n_valid)
@@ -305,10 +362,7 @@ class SplaTAM(Algorithm):
             [jnp.concatenate([jnp.asarray(f.rgb), jnp.asarray(f.depth)[..., None]], -1) for f in frames]
         )
         w2cs = jnp.stack([jnp.asarray(np.linalg.inv(f.get_pose()), jnp.float32) for f in frames])
-        count = jnp.asarray(self.model.n_gauss, jnp.int32)
         tiles, masks = jax.vmap(lambda w: self._bin_jit(self.params, self.dead, count, w))(w2cs)
-        ntx = (self.camera.width + 15) // 16
-        nty = (self.camera.height + 15) // 16
         n_iters = cfg.mapping_first_n_iters if first else cfg.mapping_n_iters
         densify = bool(cfg.mapping_use_gaussian_splatting_densification)
         sig = (n_iters, ntx, nty, densify)

@@ -187,41 +187,6 @@ class GaussianSplatting(Model):
     # ------------------------------------------------------------------
     # host-side growth / pruning (call boundaries)
     # ------------------------------------------------------------------
-    def pointcloud_from_depth(self, rgb: np.ndarray, depth: np.ndarray, c2w: np.ndarray, mask: np.ndarray):
-        """Back-project masked pixels (gaussian_cloud_splatam.py:347-399)."""
-        cam = self.camera
-        xs, ys = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
-        dirs = np.stack([(xs - cam.cx) / cam.fx, -(ys - cam.cy) / cam.fy, -np.ones_like(xs, np.float64)], -1)
-        pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T) * depth[..., None]
-        m = mask.reshape(-1)
-        pts = pts.reshape(-1, 3)[m]
-        cols = rgb.reshape(-1, 3)[m]
-        scale = (depth.reshape(-1)[m] / self._f).astype(np.float32)  # projective mean_sq_dist
-        return pts.astype(np.float32), cols.astype(np.float32), scale
-
-    def add_gaussians(self, params, pts: np.ndarray, cols: np.ndarray, scales: np.ndarray):
-        """Append rows at [n_gauss: n_gauss+n) (initialize_params semantics:
-        opacity logit 0 (=0.5), isotropic log scale)."""
-        n = len(pts)
-        cap = self.config.max_gaussians
-        if self.n_gauss + n > cap:
-            n = cap - self.n_gauss
-            if n <= 0:
-                return params
-            pts, cols, scales = pts[:n], cols[:n], scales[:n]
-        s = self.n_gauss
-        params = dict(params)
-        params["means3D"] = jax.lax.dynamic_update_slice(params["means3D"], jnp.asarray(pts), (s, 0))
-        params["rgb_colors"] = jax.lax.dynamic_update_slice(params["rgb_colors"], jnp.asarray(cols), (s, 0))
-        params["logit_opacities"] = jax.lax.dynamic_update_slice(
-            params["logit_opacities"], jnp.zeros((n, 1), jnp.float32), (s, 0)
-        )
-        params["log_scales"] = jax.lax.dynamic_update_slice(
-            params["log_scales"], jnp.asarray(np.log(np.maximum(scales, 1e-6)))[:, None], (s, 0)
-        )
-        self.n_gauss += n
-        return params
-
     def alive_mask(self, dead: jnp.ndarray, count) -> jnp.ndarray:
         """Row liveness: allocated and not pruned. Pruning flips ``dead``
         at the reference's in-loop schedule (prune_step) instead of
