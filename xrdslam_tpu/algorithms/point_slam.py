@@ -312,17 +312,27 @@ class PointSLAM(Algorithm):
         v, u = np.unravel_index(idx, gray.shape)
         return u.astype(np.int64), v.astype(np.int64)
 
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+    def dispatch_tracking(self, cur_frame: Frame):
+        """Two-phase tracking (async dispatch; pipeline overlaps the next
+        frame's prefetch with the in-flight program)."""
         if not self.is_initialized():
             return None
         pose0 = jnp.concatenate([jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r)])
         best, _ = self._track_step(
             self.model_params, self.maps, self._frame_rgbdr(cur_frame), pose0, self._next_key()
         )
+        return best
+
+    def finish_tracking(self, handle) -> Optional[np.ndarray]:
+        if handle is None:
+            return None
         from ..ops import lie_np
 
-        bp = np.asarray(best)
+        bp = np.asarray(handle)
         return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        return self.finish_tracking(self.dispatch_tracking(cur_frame))
 
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config

@@ -312,11 +312,11 @@ class SplaTAM(Algorithm):
         self._render = jax.jit(render_full)
 
     # ------------------------------------------------------------------
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+    def dispatch_tracking(self, cur_frame: Frame):
+        """Two-phase tracking (async dispatch; pipeline overlaps the next
+        frame's prefetch with the in-flight program)."""
         if not self.is_initialized():
             return None
-        from ..ops import lie_np
-
         c2w = cur_frame.get_pose()
         w2c = jnp.asarray(np.linalg.inv(c2w), jnp.float32)
         count = jnp.asarray(self.model.n_gauss, jnp.int32)
@@ -332,8 +332,18 @@ class SplaTAM(Algorithm):
             self.params, self.dead, count, cur_frame.rgb_jax(), cur_frame.depth_jax(),
             t0, q0, tiles, mask, self._next_key(),
         )
-        bt_np, bq_np = jax.device_get((bt, bq))
+        return (bt, bq)
+
+    def finish_tracking(self, handle) -> Optional[np.ndarray]:
+        if handle is None:
+            return None
+        from ..ops import lie_np
+
+        bt_np, bq_np = jax.device_get(handle)
         return lie_np.pose_vec_to_matrix(bt_np, bq_np, rot_rep="quat")
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        return self.finish_tracking(self.dispatch_tracking(cur_frame))
 
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config

@@ -221,17 +221,27 @@ class VoxFusion(Algorithm):
         if self.vox_map.insert_points(pts):
             self.maps = self.vox_map.device_state()
 
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+    def dispatch_tracking(self, cur_frame: Frame):
+        """Two-phase tracking (async dispatch; pipeline overlaps the next
+        frame's prefetch with the in-flight program)."""
         if not self.is_initialized():
             return None
         best_t, best_r, _ = self._track_step(
             self.model_params, self.maps, cur_frame.rgb_jax(), cur_frame.depth_jax(),
             jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r), self._next_key(),
         )
+        return (best_t, best_r)
+
+    def finish_tracking(self, handle) -> Optional[np.ndarray]:
+        if handle is None:
+            return None
         from ..ops import lie_np
 
-        bt, br = jax.device_get((best_t, best_r))
+        bt, br = jax.device_get(handle)
         return lie_np.pose_vec_to_matrix(bt, br, rot_rep="axis_angle")
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        return self.finish_tracking(self.dispatch_tracking(cur_frame))
 
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config
