@@ -40,7 +40,7 @@ GATES = {
 }
 
 
-def build(ds, out_dir: str, render_freq: int):
+def build(ds, out_dir: str, render_freq: int, seed: int = 0):
     from xrdslam_tpu.algorithms.coslam import CoSLAMConfig
     from xrdslam_tpu.common.mesher import MesherConfig
     from xrdslam_tpu.engine.optimizers import AdamOptimizerConfig
@@ -61,6 +61,7 @@ def build(ds, out_dir: str, render_freq: int):
                               save_re_render_result=False, save_debug_result=False),
         mapper=MapperConfig(keyframe_every=5),
         algorithm=CoSLAMConfig(
+            seed=seed,
             separate_LR=True, rot_rep="axis_angle",
             tracking_n_iters=10, mapping_n_iters=10, mapping_first_n_iters=200,
             mapping_sample=2048, tracking_sample=1024, min_sample_pixels=100,
@@ -108,8 +109,7 @@ def main() -> None:
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="bench_acc_")
-    pipeline = build(ds, out_dir, args.render_freq)
-    pipeline.algorithm.config.seed = args.seed
+    pipeline = build(ds, out_dir, args.render_freq, seed=args.seed)
     t0 = time.time()
     pipeline.run()
     slam_s = time.time() - t0

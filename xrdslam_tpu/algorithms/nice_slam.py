@@ -287,17 +287,27 @@ class NiceSLAM(Algorithm):
     # ------------------------------------------------------------------
     # host API
     # ------------------------------------------------------------------
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+    def dispatch_tracking(self, cur_frame: Frame):
+        """Two-phase tracking (async dispatch; pipeline overlaps the next
+        frame's prefetch with the in-flight program)."""
         if not self.is_initialized():
             return None
         pose0 = jnp.concatenate([jnp.asarray(cur_frame.t), jnp.asarray(cur_frame.r)])
         best_pose, _ = self._track_step(
             self.model_params, cur_frame.rgb_jax(), cur_frame.depth_jax(), pose0, self._next_key()
         )
+        return best_pose
+
+    def finish_tracking(self, handle) -> Optional[np.ndarray]:
+        if handle is None:
+            return None
         from ..ops import lie_np
 
-        bp = np.asarray(best_pose)
+        bp = np.asarray(handle)
         return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
+
+    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
+        return self.finish_tracking(self.dispatch_tracking(cur_frame))
 
     def _select_window(self, cur_frame: Frame) -> List[int]:
         """Overlap keyframe selection -> list of kf slots (oldest first)."""

@@ -150,7 +150,6 @@ class SplaTAM(Algorithm):
             opt_state = opt.init({g: params[g] for g in GAUSS_GROUPS})
             gparams = {g: params[g] for g in GAUSS_GROUPS}
             G = cfg.model.max_gaussians
-            pdict = cfg.model.mapping_pruning_dict
             ddict = cfg.model.mapping_densify_dict
 
             def body(carry, inp):
@@ -185,7 +184,13 @@ class SplaTAM(Algorithm):
                 dead, _ = model.prune_step(gp, dead, count, it)
 
                 if densify:
-                    gnorm = jnp.linalg.norm(g["_duv"], axis=-1)
+                    # duv is in PIXELS; the reference's grad_thresh (0.0002,
+                    # gaussian_cloud_splatam.py densify defaults) is for
+                    # NDC-scale means2D gradients. d(px)/d(ndc) = dim/2, so
+                    # scale pixel-space gradients up by max(W,H)/2 to use
+                    # the reference thresholds unchanged.
+                    ndc_scale = 0.5 * max(cam.width, cam.height)
+                    gnorm = jnp.linalg.norm(g["_duv"], axis=-1) * ndc_scale
                     seen = gnorm > 0
                     accum = accum + gnorm
                     denom = denom + seen.astype(jnp.float32)

@@ -112,7 +112,7 @@ def bin_gaussians(
 
 def bin_gaussians_device(
     u, v, depth, radius, alive, height: int, width: int,
-    k_per_tile: int = 256, margin: float = 8.0, max_span: int = 4,
+    k_per_tile: int = 256, margin: float = 8.0, max_span: int = 6,
 ):
     """Device-side tile binning (jittable): same semantics as
     :func:`bin_gaussians` but built with one sort + one unique-index

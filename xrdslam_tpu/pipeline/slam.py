@@ -115,10 +115,12 @@ class SLAMPipeline:
     def _prefetch_frame(self, i: int) -> None:
         if i in self._pending or i >= len(self.dataset):
             return
-        import jax.numpy as jnp
-
         _, rgb, depth, gt = self.dataset[i]
-        self._pending[i] = (rgb, depth, gt, jnp.asarray(rgb), jnp.asarray(depth))
+        # go through Frame's upload path so prefetched frames use the same
+        # uint16 transfer (half the tunnel bytes) AND the same quantization
+        # as cache-miss frames
+        tmp = Frame(fid=i, rgb=rgb, depth=depth)
+        self._pending[i] = (rgb, depth, gt, tmp.rgb_jax(), tmp.depth_jax())
 
     def _gt_transform(self, i: int, gt_c2w: np.ndarray):
         """Relative-pose remap (reference: tracker.py:60-73). Returns
@@ -397,14 +399,19 @@ class SLAMPipeline:
 
     # ------------------------------------------------------------------
     def save_debug_results(self, idx: int, gt_rgb, gt_depth, c2w) -> None:
+        """2x3 debug panel (reference save_render_imgs, common.py:429-542):
+        rgb gt | render | |residual| over depth gt | render | |residual|."""
         color, depth = self.algorithm.render_img(c2w, gt_depth=gt_depth, idx=idx)
         if color is None:
             return
         md = float(np.max(gt_depth)) if gt_depth is not None else None
+        rgb_err = np.clip(np.abs(color - gt_rgb), 0, 1)
+        d_err = np.abs(depth - gt_depth) * (gt_depth > 0)
         panel = np.concatenate(
             [
-                np.concatenate([gt_rgb, color], axis=1),
-                np.concatenate([colorize_depth(gt_depth, md), colorize_depth(depth, md)], axis=1),
+                np.concatenate([gt_rgb, color, rgb_err], axis=1),
+                np.concatenate([colorize_depth(gt_depth, md), colorize_depth(depth, md),
+                                colorize_depth(d_err, max((md or 1.0) * 0.2, 1e-6))], axis=1),
             ],
             axis=0,
         )

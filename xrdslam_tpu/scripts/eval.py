@@ -107,7 +107,8 @@ def main(argv=None) -> None:
         # pre-alignment only if it actually brings the meshes closer.
         R = np.asarray(res["rot"])
         t = np.asarray(res["trans"])
-        pre = Mesh(rec.vertices @ R.T + t, rec.faces, rec.vertex_colors)
+        s = float(res.get("scale", 1.0))  # similarity scale (--correct-scale)
+        pre = Mesh(s * (rec.vertices @ R.T) + t, rec.faces, rec.vertex_colors)
         gt_s = sample_mesh_points(gt, 5000, seed=2)
         tree = cKDTree(gt_s)
         d_pre = tree.query(sample_mesh_points(pre, 5000, seed=3), k=1)[0].mean()

@@ -130,10 +130,12 @@ def calc_2d_metric(
     transform = transform.copy()
     transform[2, 3] += 0.4
 
-    cx = height / 2.0 - 0.5
-    cy = width / 2.0 - 0.5
+    cx = width / 2.0 - 0.5
+    cy = height / 2.0 - 0.5
+    n_contaminated = 0
     errors = []
     for _ in range(n_imgs):
+        ok_view = False
         for _try in range(100):
             local = (rng.rand(3) - 0.5) * extents
             origin = transform[:3, :3] @ local + transform[:3, 3]
@@ -146,6 +148,7 @@ def calc_2d_metric(
             c2w_pkg[:3, 1] *= -1.0
             c2w_pkg[:3, 2] *= -1.0
             if pc_unseen is None or len(pc_unseen) == 0:
+                ok_view = True
                 break
             w2c = np.linalg.inv(c2w_pkg)
             pc = pc_unseen @ w2c[:3, :3].T + w2c[:3, 3]
@@ -154,7 +157,14 @@ def calc_2d_metric(
             v = cy - focal * pc[:, 1] / np.maximum(z, 1e-6)
             seen = (z > 0) & (u > 0) & (u < width) & (v > 0) & (v < height)
             if not seen.any():
+                ok_view = True
                 break
+        if not ok_view:
+            # the protocol requires rejecting views that see unseen points;
+            # keeping one would bias the metric against legitimately
+            # unobserved regions
+            n_contaminated += 1
+            continue
         gt_depth = render_mesh_depth_np(
             gt_mesh, c2w_pkg, focal, focal, cx, cy, height, width)
         rec_depth = render_mesh_depth_np(
@@ -162,6 +172,9 @@ def calc_2d_metric(
         valid = rec_depth > 0
         if valid.sum() > 0:
             errors.append(np.abs(gt_depth[valid] - rec_depth[valid]).mean())
+    if n_contaminated:
+        print(f"[calc_2d_metric] skipped {n_contaminated}/{n_imgs} views "
+              f"(unseen-point rejection exhausted)")
     if not errors:
         return {"depth_l1_cm": float("nan")}
     return {"depth_l1_cm": float(np.mean(errors) * 100.0)}
