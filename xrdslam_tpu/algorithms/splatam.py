@@ -97,13 +97,18 @@ class SplaTAM(Algorithm):
         cam = self.camera
         k_tile = cfg.model.k_per_tile
 
-        def binning(params, dead, count, w2c):
-            """On-device tile binning from current params/pose."""
+        def binning(params, dead, count, w2c, max_span: int = 4):
+            """On-device tile binning from current params/pose.
+
+            max_span=4 in the optimization loops (the footprint cap only
+            truncates transient >64 px gaussians and the span-6 sort costs
+            2.25x); 6 — matching the host binner — for the growth mask and
+            eval renders where silhouette coverage feeds decisions."""
             u, v, depth, sigma = model.project(params, w2c)
             alive = model.alive_mask(dead, count)
             return bin_gaussians_device(
                 u, v, depth, 3.0 * sigma, alive, cam.height, cam.width,
-                k_per_tile=k_tile)
+                k_per_tile=k_tile, max_span=max_span)
 
         self._binning_fn = binning
         self._bin_jit = jax.jit(binning)
@@ -258,7 +263,7 @@ class SplaTAM(Algorithm):
             if first:
                 mask = valid
             else:
-                tiles, msk = binning(params, dead, count, w2c)
+                tiles, msk = binning(params, dead, count, w2c, max_span=6)
                 alive = model.alive_mask(dead, count)
                 out = model.render(params, alive, w2c, (tiles, msk), ntx, nty)
                 sil = out["sil"]
@@ -308,7 +313,7 @@ class SplaTAM(Algorithm):
         self._grow_jit = grow_jit
 
         def render_full(params, dead, count, w2c):
-            tiles, mask = binning(params, dead, count, w2c)
+            tiles, mask = binning(params, dead, count, w2c, max_span=6)
             alive = model.alive_mask(dead, count)
             ntx = (cam.width + 15) // 16
             nty = (cam.height + 15) // 16
