@@ -145,19 +145,21 @@ class NiceSLAM(Algorithm):
             t_exit = jnp.min(jnp.max(t, axis=2), axis=1)
             return (t_exit >= td[:, 0]).astype(jnp.float32)
 
-        def sample_frame_rays(k, images, poses, n_frames, pixs, hedge, wedge):
-            """Sample pixs rays from each of n_frames frames. images
-            [n,H,W,4], poses [n,7] -> flat batch [n*pixs, ...]."""
+        def sample_frame_rays(k, images, poses, n_frames, n_valid, pixs, hedge, wedge):
+            """Sample pixs rays from each of n_frames STATIC slots; slot f
+            reads frame f % n_valid so padded windows share one compiled
+            program. images [n,H,W,4], poses [n,7] -> [n*pixs, ...]."""
             keys = jax.random.split(k, n_frames)
             ros, rds, tss, tds = [], [], [], []
             for f in range(n_frames):
+                fi = jnp.mod(jnp.asarray(f, jnp.int32), n_valid)
                 u, v = sample_pixels(keys[f], pixs, H, W, hedge, wedge)
                 ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
-                rgbd = images[f, vi, ui]
+                rgbd = images[fi, vi, ui]
                 d_cam = self._dirs[vi, ui]
-                R = lie.quaternion_to_matrix(poses[f, 3:])
+                R = lie.quaternion_to_matrix(poses[fi, 3:])
                 rds.append(d_cam @ R.T)
-                ros.append(jnp.broadcast_to(poses[f, :3], (pixs, 3)))
+                ros.append(jnp.broadcast_to(poses[fi, :3], (pixs, 3)))
                 tss.append(rgbd[:, :3])
                 tds.append(rgbd[:, 3:4])
             return (jnp.concatenate(ros), jnp.concatenate(rds), jnp.concatenate(tss), jnp.concatenate(tds))
@@ -203,7 +205,7 @@ class NiceSLAM(Algorithm):
         # ---------------- mapping --------------------------------------
         grid_names = [g for g in model.grid_shapes]
 
-        def map_step(params, images, poses, masks, key, *, n_frames, n_iters, lr_factor, optimize_pose, coarse):
+        def map_step(params, images, poses, masks, n_valid, key, *, n_frames, n_iters, lr_factor, optimize_pose, coarse):
             pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
             all_params: Dict[str, Any] = {g: params[g] for g in grid_names if (g == "grid_coarse") == coarse}
             if not coarse and model.trainable_decoders:
@@ -235,7 +237,7 @@ class NiceSLAM(Algorithm):
                         # oldest window frame fixed (base_algorithm.py:195-205)
                         pz = pz.at[0].set(jax.lax.stop_gradient(pz[0]))
                         mp = {**params, **{g: p[g] for g in p if g != "pose"}}
-                        ro, rd, ts, td = sample_frame_rays(k1, images, pz, n_frames, pixs, 0, 0)
+                        ro, rd, ts, td = sample_frame_rays(k1, images, pz, n_frames, n_valid, pixs, 0, 0)
                         rm = ray_prefilter_mask(ro, rd, td)
                         loss, _ = model.get_loss(mp, k2, ro, rd, ts, td, rm, True, stage)
                         return loss
@@ -368,21 +370,24 @@ class NiceSLAM(Algorithm):
         cur_pose = np.concatenate([cur_frame.t, cur_frame.r]).astype(np.float32)
         for _ in range(outer_iters):
             slots = self._select_window(cur_frame)[-window_size:]
-            n_frames = len(slots) + 1
-            images, poses = self._gather_window(slots, cur_frame, cur_pose)
+            n_valid = len(slots) + 1
+            images, poses = self._gather_window(slots, cur_frame, cur_pose,
+                                                pad_to=window_size + 1)
             masks = (
                 {k: jnp.asarray(v) for k, v in self.model.frustum_grid_masks(cur_frame.get_pose(), cur_frame.depth).items()}
                 if cfg.model.mapping_frustum_feature_selection and not refine
                 else {}
             )
             optimize_pose = self.kf_count > 4 and not refine
-            fn = self._map_variant(n_frames, n_iters, lr_factor, optimize_pose, False)
-            self.model_params, new_poses = fn(self.model_params, images, poses, masks, self._next_key())
+            fn = self._map_variant(window_size + 1, n_iters, lr_factor, optimize_pose, False)
+            self.model_params, new_poses = fn(
+                self.model_params, images, poses, masks,
+                jnp.asarray(n_valid, jnp.int32), self._next_key())
             new_poses = np.asarray(new_poses)
             if optimize_pose:
                 for j, s in enumerate(slots):
                     self.kf_pose = self.kf_pose.at[s].set(jnp.asarray(new_poses[j]))
-                cur_pose = new_poses[-1]
+                cur_pose = new_poses[n_valid - 1]
                 cur_frame.t = cur_pose[:3].copy()
                 cur_frame.r = cur_pose[3:].copy()
 
@@ -391,14 +396,17 @@ class NiceSLAM(Algorithm):
             k = cfg.mapping_window_size - 2
             slots = sorted(rng.permutation(max(self.kf_count - 1, 0))[:k]) + ([self.kf_count - 1] if self.kf_count else [])
             slots = [int(s) for s in slots]
-            images, poses = self._gather_window(slots, cur_frame, cur_pose)
-            fn = self._map_variant(len(slots) + 1, n_iters, lr_factor, False, True)
-            self.model_params, _ = fn(self.model_params, images, poses, {}, self._next_key())
+            images, poses = self._gather_window(slots, cur_frame, cur_pose,
+                                                pad_to=cfg.mapping_window_size)
+            fn = self._map_variant(cfg.mapping_window_size, n_iters, lr_factor, False, True)
+            self.model_params, _ = fn(
+                self.model_params, images, poses, {},
+                jnp.asarray(len(slots) + 1, jnp.int32), self._next_key())
 
         if first:
             self.set_initialized()
 
-    def _gather_window(self, slots: List[int], cur_frame: Frame, cur_pose: np.ndarray):
+    def _gather_window(self, slots: List[int], cur_frame: Frame, cur_pose: np.ndarray, pad_to: int = 0):
         cur_img = jnp.concatenate(
             [cur_frame.rgb_jax(), cur_frame.depth_jax()[..., None]], -1
         )[None]
@@ -409,6 +417,13 @@ class NiceSLAM(Algorithm):
         else:
             images = cur_img
             poses = jnp.asarray(cur_pose)[None]
+        # pad to the static window size (padded slots are never read:
+        # sample_frame_rays maps slot f -> frame f % n_valid)
+        if pad_to > images.shape[0]:
+            pad = pad_to - images.shape[0]
+            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
+            poses = jnp.concatenate(
+                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
         return images, poses
 
     def add_keyframe(self, keyframe: Frame) -> None:

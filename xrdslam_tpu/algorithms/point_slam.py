@@ -191,7 +191,12 @@ class PointSLAM(Algorithm):
 
         self._track_step = jax.jit(track_step)
 
-        def map_step(params, maps, images, poses, grad_uv, key, *, n_frames, n_iters, n_grad):
+        def map_step(params, maps, images, poses, grad_uv, n_valid, key, *,
+                     n_frames, n_iters, n_grad):
+            # images/poses padded to the STATIC window size; slot f reads
+            # frame f % n_valid (slot W-1 pinned to the CURRENT frame so
+            # the color-grad extra pixels land on it) -> one compiled
+            # program for every window length
             pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
             geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
             phases = [("geometry", geo_iters), ("color", n_iters - geo_iters)]
@@ -219,6 +224,10 @@ class PointSLAM(Algorithm):
                         keys = jax.random.split(k1, n_frames)
                         ros, rds, tss, tds, rqs = [], [], [], [], []
                         for f in range(n_frames):
+                            if f == n_frames - 1:
+                                fi = n_valid - 1  # current frame
+                            else:
+                                fi = jnp.mod(jnp.asarray(f, jnp.int32), n_valid)
                             u, v = sample_pixels(keys[f], pixs, H, W)
                             ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
                             if n_grad > 0 and f == n_frames - 1:
@@ -227,10 +236,10 @@ class PointSLAM(Algorithm):
                                 ui = jnp.concatenate([ui, grad_uv[:, 0]])
                                 vi = jnp.concatenate([vi, grad_uv[:, 1]])
                             m = ui.shape[0]
-                            rgbd = images[f, vi, ui]
-                            R = lie.quaternion_to_matrix(poses[f, 3:])
+                            rgbd = images[fi, vi, ui]
+                            R = lie.quaternion_to_matrix(poses[fi, 3:])
                             rds.append(self._dirs[vi, ui] @ R.T)
-                            ros.append(jnp.broadcast_to(poses[f, :3], (m, 3)))
+                            ros.append(jnp.broadcast_to(poses[fi, :3], (m, 3)))
                             tss.append(rgbd[:, :3])
                             tds.append(rgbd[:, 3:4])
                             rqs.append(rgbd[:, 4])
@@ -359,12 +368,21 @@ class PointSLAM(Algorithm):
             grad_uv = jnp.asarray(np.stack([gu, gv], -1), jnp.int32)
         else:
             grad_uv = jnp.zeros((0, 2), jnp.int32)
-        sig = (len(slots) + 1, n_iters, n_grad)
+        n_valid = len(slots) + 1
+        W_static = cfg.mapping_window_size
+        if n_valid < W_static:
+            pad = W_static - n_valid
+            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
+            poses = jnp.concatenate(
+                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
+        sig = (W_static, n_iters, n_grad)
         if sig not in self._map_variants:
             self._map_variants[sig] = jax.jit(
                 functools.partial(self._map_step_raw, n_frames=sig[0], n_iters=sig[1], n_grad=sig[2])
             )
-        self.model_params = self._map_variants[sig](self.model_params, self.maps, images, poses, grad_uv, self._next_key())
+        self.model_params = self._map_variants[sig](
+            self.model_params, self.maps, images, poses, grad_uv,
+            jnp.asarray(n_valid, jnp.int32), self._next_key())
         if first:
             self.set_initialized()
 

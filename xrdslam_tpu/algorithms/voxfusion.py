@@ -135,7 +135,11 @@ class VoxFusion(Algorithm):
 
         self._track_step = jax.jit(track_step)
 
-        def map_step(params, model_opt_state, maps, images, poses, key, *, n_frames, n_iters, optimize_pose):
+        def map_step(params, model_opt_state, maps, images, poses, n_valid,
+                     key, *, n_frames, n_iters, optimize_pose):
+            """images/poses are padded to a STATIC n_frames (=window size);
+            ray slot f samples frame f % n_valid, so every window length
+            shares one compiled program and pads are never read."""
             groups = {"decoder": self._opt_cfgs["decoder"], "embeddings": self._opt_cfgs["embeddings"]}
             if optimize_pose:
                 groups["pose"] = self._opt_cfgs["mapping_pose"]
@@ -158,12 +162,13 @@ class VoxFusion(Algorithm):
                     keys = jax.random.split(k1, n_frames)
                     ros, rds, tss, tds = [], [], [], []
                     for f in range(n_frames):
+                        fi = jnp.mod(jnp.asarray(f, jnp.int32), n_valid)
                         u, v = sample_pixels(keys[f], cfg.mapping_sample, H, W)
                         ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
-                        rgbd = images[f, vi, ui]
-                        Rm = lie.axis_angle_to_matrix(pz[f, 3:])
+                        rgbd = images[fi, vi, ui]
+                        Rm = lie.axis_angle_to_matrix(pz[fi, 3:])
                         rds.append(self._dirs[vi, ui] @ Rm.T)
-                        ros.append(jnp.broadcast_to(pz[f, :3], (cfg.mapping_sample, 3)))
+                        ros.append(jnp.broadcast_to(pz[fi, :3], (cfg.mapping_sample, 3)))
                         tss.append(rgbd[:, :3])
                         tds.append(rgbd[:, 3:4])
                     loss, _ = model.get_loss(
@@ -264,20 +269,28 @@ class VoxFusion(Algorithm):
             poses = jnp.concatenate([self.kf_pose[idx], jnp.asarray(cur_pose)[None]], 0)
         else:
             images, poses = cur_img, jnp.asarray(cur_pose)[None]
-        n_frames = len(slots) + 1
-        optimize_pose = self.bundle_adjust and n_frames > 1
-        fn = self._map_variant(n_frames, n_iters, optimize_pose)
+        n_valid = len(slots) + 1
+        # pad to the STATIC window size so every length shares one program
+        W_static = cfg.mapping_window_size
+        if n_valid < W_static:
+            pad = W_static - n_valid
+            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
+            poses = jnp.concatenate(
+                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
+        optimize_pose = self.bundle_adjust and n_valid > 1
+        fn = self._map_variant(W_static, n_iters, optimize_pose)
         model_sub = {"decoder": self.model_params["decoder"], "embeddings": self.model_params["embeddings"]}
         new_sub, self.model_opt_state, new_poses = fn(
-            model_sub, self.model_opt_state, self.maps, images, poses, self._next_key()
+            model_sub, self.model_opt_state, self.maps, images, poses,
+            jnp.asarray(n_valid, jnp.int32), self._next_key()
         )
         self.model_params.update(new_sub)
         new_poses = np.asarray(new_poses)
         if optimize_pose:
             for j, s in enumerate(slots):
                 self.kf_pose = self.kf_pose.at[s].set(jnp.asarray(new_poses[j]))
-        cur_frame.t = new_poses[-1][:3].copy()
-        cur_frame.r = new_poses[-1][3:].copy()
+        cur_frame.t = new_poses[n_valid - 1][:3].copy()
+        cur_frame.r = new_poses[n_valid - 1][3:].copy()
         if first:
             self.set_initialized()
 
