@@ -92,7 +92,41 @@ class Algorithm:
         return None
 
     def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
-        raise NotImplementedError
+        """Default: two-phase composition. Algorithms that implement
+        dispatch_tracking/finish_tracking get do_tracking for free;
+        feed-forward ones (DPVO, NeuralRecon) override this directly."""
+        handle = self.dispatch_tracking(cur_frame)
+        if handle is NotImplemented:
+            raise NotImplementedError
+        return self.finish_tracking(handle)
+
+    @staticmethod
+    def window_slot_frame(f: int, n_valid, n_slots: int):
+        """Static-window slot -> frame index: ((f+1)*n_valid - 1) // n_slots.
+
+        Distributes n_slots ray slots over the n_valid (traced) real frames
+        as evenly as possible (per-frame counts differ by at most one), is
+        monotone, and ALWAYS pins the last slot to the current frame
+        (f = n_slots-1 -> n_valid-1) — so per-frame weighting matches the
+        reference's one-batch-per-frame schedule up to the unavoidable
+        remainder, with the surplus going to the newest frames."""
+        import jax.numpy as jnp
+
+        return ((jnp.asarray(f + 1, jnp.int32)) * n_valid - 1) // n_slots
+
+    @staticmethod
+    def pad_window(images, poses, cur_img, cur_pose, pad_to: int):
+        """Pad gathered window arrays to the static window size by
+        repeating the current frame (padded slots are never read — the
+        slot->frame map stays within [0, n_valid))."""
+        import jax.numpy as jnp
+
+        if pad_to > images.shape[0]:
+            pad = pad_to - images.shape[0]
+            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
+            poses = jnp.concatenate(
+                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
+        return images, poses
 
     def do_mapping(self, cur_frame: Frame) -> None:
         raise NotImplementedError

@@ -369,9 +369,6 @@ class CoSLAM(Algorithm):
         bt, br = jax.device_get(handle)
         return lie_np.pose_vec_to_matrix(bt, br, rot_rep="axis_angle")
 
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
-        return self.finish_tracking(self.dispatch_tracking(cur_frame))
-
     def do_mapping(self, cur_frame: Frame) -> None:
         first = not self.is_initialized()
         fn = self._map_step_first if first else self._get_map_step(self._cur_cap())

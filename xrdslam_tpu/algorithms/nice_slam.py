@@ -146,13 +146,14 @@ class NiceSLAM(Algorithm):
             return (t_exit >= td[:, 0]).astype(jnp.float32)
 
         def sample_frame_rays(k, images, poses, n_frames, n_valid, pixs, hedge, wedge):
-            """Sample pixs rays from each of n_frames STATIC slots; slot f
-            reads frame f % n_valid so padded windows share one compiled
+            """Sample pixs rays from each of n_frames STATIC slots; the
+            slot->frame map (window_slot_frame) spreads slots evenly over
+            the n_valid real frames so padded windows share one compiled
             program. images [n,H,W,4], poses [n,7] -> [n*pixs, ...]."""
             keys = jax.random.split(k, n_frames)
             ros, rds, tss, tds = [], [], [], []
             for f in range(n_frames):
-                fi = jnp.mod(jnp.asarray(f, jnp.int32), n_valid)
+                fi = self.window_slot_frame(f, n_valid, n_frames)
                 u, v = sample_pixels(keys[f], pixs, H, W, hedge, wedge)
                 ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
                 rgbd = images[fi, vi, ui]
@@ -308,9 +309,6 @@ class NiceSLAM(Algorithm):
         bp = np.asarray(handle)
         return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
 
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
-        return self.finish_tracking(self.dispatch_tracking(cur_frame))
-
     def _select_window(self, cur_frame: Frame) -> List[int]:
         """Overlap keyframe selection -> list of kf slots (oldest first)."""
         k = self.config.mapping_window_size - 2
@@ -417,14 +415,9 @@ class NiceSLAM(Algorithm):
         else:
             images = cur_img
             poses = jnp.asarray(cur_pose)[None]
-        # pad to the static window size (padded slots are never read:
-        # sample_frame_rays maps slot f -> frame f % n_valid)
-        if pad_to > images.shape[0]:
-            pad = pad_to - images.shape[0]
-            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
-            poses = jnp.concatenate(
-                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
-        return images, poses
+        # padded slots are never read: the slot->frame map stays in
+        # [0, n_valid)
+        return self.pad_window(images, poses, cur_img, cur_pose, pad_to)
 
     def add_keyframe(self, keyframe: Frame) -> None:
         if self.kf_count >= self.max_kf:

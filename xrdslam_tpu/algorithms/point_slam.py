@@ -193,10 +193,11 @@ class PointSLAM(Algorithm):
 
         def map_step(params, maps, images, poses, grad_uv, n_valid, key, *,
                      n_frames, n_iters, n_grad):
-            # images/poses padded to the STATIC window size; slot f reads
-            # frame f % n_valid (slot W-1 pinned to the CURRENT frame so
-            # the color-grad extra pixels land on it) -> one compiled
-            # program for every window length
+            # images/poses padded to the STATIC window size; the
+            # slot->frame map (window_slot_frame) spreads slots evenly over
+            # the n_valid real frames and pins slot W-1 to the CURRENT
+            # frame (the color-grad extra pixels land on it) -> one
+            # compiled program for every window length
             pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
             geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
             phases = [("geometry", geo_iters), ("color", n_iters - geo_iters)]
@@ -224,10 +225,7 @@ class PointSLAM(Algorithm):
                         keys = jax.random.split(k1, n_frames)
                         ros, rds, tss, tds, rqs = [], [], [], [], []
                         for f in range(n_frames):
-                            if f == n_frames - 1:
-                                fi = n_valid - 1  # current frame
-                            else:
-                                fi = jnp.mod(jnp.asarray(f, jnp.int32), n_valid)
+                            fi = self.window_slot_frame(f, n_valid, n_frames)
                             u, v = sample_pixels(keys[f], pixs, H, W)
                             ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
                             if n_grad > 0 and f == n_frames - 1:
@@ -340,9 +338,6 @@ class PointSLAM(Algorithm):
         bp = np.asarray(handle)
         return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
 
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
-        return self.finish_tracking(self.dispatch_tracking(cur_frame))
-
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config
         first = not self.is_initialized()
@@ -370,11 +365,7 @@ class PointSLAM(Algorithm):
             grad_uv = jnp.zeros((0, 2), jnp.int32)
         n_valid = len(slots) + 1
         W_static = cfg.mapping_window_size
-        if n_valid < W_static:
-            pad = W_static - n_valid
-            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
-            poses = jnp.concatenate(
-                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
+        images, poses = self.pad_window(images, poses, cur_img, cur_pose, W_static)
         sig = (W_static, n_iters, n_grad)
         if sig not in self._map_variants:
             self._map_variants[sig] = jax.jit(

@@ -191,11 +191,10 @@ class SplaTAM(Algorithm):
                 if densify:
                     # duv is in PIXELS; the reference's grad_thresh (0.0002,
                     # gaussian_cloud_splatam.py densify defaults) is for
-                    # NDC-scale means2D gradients. d(px)/d(ndc) = dim/2, so
-                    # scale pixel-space gradients up by max(W,H)/2 to use
-                    # the reference thresholds unchanged.
-                    ndc_scale = 0.5 * max(cam.width, cam.height)
-                    gnorm = jnp.linalg.norm(g["_duv"], axis=-1) * ndc_scale
+                    # NDC-scale means2D gradients. The pixel->NDC jacobian
+                    # is anisotropic: d(px)/d(ndc) = W/2 for u, H/2 for v.
+                    ndc = jnp.asarray([0.5 * cam.width, 0.5 * cam.height])
+                    gnorm = jnp.linalg.norm(g["_duv"] * ndc, axis=-1)
                     seen = gnorm > 0
                     accum = accum + gnorm
                     denom = denom + seen.astype(jnp.float32)
@@ -351,9 +350,6 @@ class SplaTAM(Algorithm):
 
         bt_np, bq_np = jax.device_get(handle)
         return lie_np.pose_vec_to_matrix(bt_np, bq_np, rot_rep="quat")
-
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
-        return self.finish_tracking(self.dispatch_tracking(cur_frame))
 
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config

@@ -138,8 +138,8 @@ class VoxFusion(Algorithm):
         def map_step(params, model_opt_state, maps, images, poses, n_valid,
                      key, *, n_frames, n_iters, optimize_pose):
             """images/poses are padded to a STATIC n_frames (=window size);
-            ray slot f samples frame f % n_valid, so every window length
-            shares one compiled program and pads are never read."""
+            ray slot f samples frame ((f+1)*n_valid-1)//n_frames, so every window
+            length shares one compiled program and pads are never read."""
             groups = {"decoder": self._opt_cfgs["decoder"], "embeddings": self._opt_cfgs["embeddings"]}
             if optimize_pose:
                 groups["pose"] = self._opt_cfgs["mapping_pose"]
@@ -162,7 +162,7 @@ class VoxFusion(Algorithm):
                     keys = jax.random.split(k1, n_frames)
                     ros, rds, tss, tds = [], [], [], []
                     for f in range(n_frames):
-                        fi = jnp.mod(jnp.asarray(f, jnp.int32), n_valid)
+                        fi = self.window_slot_frame(f, n_valid, n_frames)
                         u, v = sample_pixels(keys[f], cfg.mapping_sample, H, W)
                         ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
                         rgbd = images[fi, vi, ui]
@@ -245,9 +245,6 @@ class VoxFusion(Algorithm):
         bt, br = jax.device_get(handle)
         return lie_np.pose_vec_to_matrix(bt, br, rot_rep="axis_angle")
 
-    def do_tracking(self, cur_frame: Frame) -> Optional[np.ndarray]:
-        return self.finish_tracking(self.dispatch_tracking(cur_frame))
-
     def do_mapping(self, cur_frame: Frame) -> None:
         cfg = self.config
         first = not self.is_initialized()
@@ -272,11 +269,7 @@ class VoxFusion(Algorithm):
         n_valid = len(slots) + 1
         # pad to the STATIC window size so every length shares one program
         W_static = cfg.mapping_window_size
-        if n_valid < W_static:
-            pad = W_static - n_valid
-            images = jnp.concatenate([images, jnp.repeat(cur_img, pad, 0)], 0)
-            poses = jnp.concatenate(
-                [poses, jnp.repeat(jnp.asarray(cur_pose)[None], pad, 0)], 0)
+        images, poses = self.pad_window(images, poses, cur_img, cur_pose, W_static)
         optimize_pose = self.bundle_adjust and n_valid > 1
         fn = self._map_variant(W_static, n_iters, optimize_pose)
         model_sub = {"decoder": self.model_params["decoder"], "embeddings": self.model_params["embeddings"]}
