@@ -161,10 +161,10 @@ def main() -> None:
              "mfu_vs_bf16_peak": res["mfu_vs_bf16_peak"],
              "hbm_bw_util": res["hbm_bw_util"],
              "total_wall_s": res["total_s"]}
-    # hash parity run is opt-in: its compile time alone (~8 min: the super
-    # program inlines the 16-level hashgrid fwd+bwd) would dominate the
-    # driver's bench budget. Measured numbers live in docs/benchmark.md.
-    if os.environ.get("XRDSLAM_BENCH_BOTH", "0") == "1" and headline == "triplane":
+    # the hash parity path adds ~280 s (compile included; the r2 fused
+    # programs cut its former ~8 min compile) — emitted by default so both
+    # encodings are visible to the driver; XRDSLAM_BENCH_BOTH=0 skips it.
+    if os.environ.get("XRDSLAM_BENCH_BOTH", "1") == "1" and headline == "triplane":
         alt = run_one("hash", ds)
         print(f"[bench] hash: {alt['fps']} fps, ATE {alt['ate_cm']} cm", file=sys.stderr)
         extra["hash_fps"] = alt["fps"]
