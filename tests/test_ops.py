@@ -208,3 +208,22 @@ def test_spherical_harmonics_encoding():
     cube = (d + 1.0) / 2.0
     out2 = np.asarray(spherical_harmonics_encode(cube, 4, from_unit_cube=True))
     np.testing.assert_allclose(out2, out, atol=1e-5)
+
+
+def test_window_slot_frame_invariants():
+    """Static-window slot->frame map (base.Algorithm.window_slot_frame):
+    covers every real frame, per-frame counts differ by at most one, the
+    map is monotone, and the LAST slot always reads the current frame."""
+    import numpy as np
+
+    from xrdslam_tpu.algorithms.base import Algorithm
+
+    for W in (1, 2, 3, 5, 8, 10):
+        for n_valid in range(1, W + 1):
+            fis = [int(Algorithm.window_slot_frame(f, jnp.asarray(n_valid), W))
+                   for f in range(W)]
+            assert fis[-1] == n_valid - 1, (W, n_valid, fis)
+            assert fis == sorted(fis), (W, n_valid, fis)
+            counts = np.bincount(fis, minlength=n_valid)
+            assert counts.min() >= 1, (W, n_valid, fis)
+            assert counts.max() - counts.min() <= 1, (W, n_valid, fis)
