@@ -39,6 +39,11 @@ class JointEncodingConfig(ModelConfig):
     hashsize: int = 16
     oneGrid: bool = True
     fast_encoder: bool = True
+    # hash layout: packed patch rows (ops/hashgrid_packed — one gathered
+    # row per level per sample, ~8x fewer gather rows; dense levels exact,
+    # hash levels cell-keyed) vs the exact per-vertex reference layout
+    # (ops/hashgrid_fast / ops/encodings).
+    hash_packed: bool = True
     # scene encoding: 'hash' (reference tcnn HashGrid parity) or 'triplane'
     # (TPU-native fast path, ops/triplane.py — ~2x mapping, ~2x tracking)
     encoding: str = "hash"
@@ -112,6 +117,7 @@ class JointEncoding(Model):
             self.input_ch = self.spec.out_dim  # 32
         self.input_ch_pos = 3 * c.pos_nbins  # 48
         self._bound = jnp.asarray(self.bounding_box)
+        self._packed_hash = c.encoding == "hash" and c.hash_packed
         # optimized encode (feature-major fwd + Pallas matmul-scatter bwd)
         # only on TPU; CPU tests take the reference path.
         from ..ops import hashgrid_fast
@@ -127,18 +133,27 @@ class JointEncoding(Model):
             flat = x.reshape(-1, 3)
             out = triplane_encode(table, flat, self.tp_spec, packed=packed)
             return out.reshape(x.shape[:-1] + (self.tp_spec.out_dim,))
+        if self._packed_hash:
+            from ..ops.hashgrid_packed import packed_hash_encode
+
+            return packed_hash_encode(table, x, spec, packed=packed)
         from ..ops import hashgrid_fast
 
         return hashgrid_fast.encode(table, x, spec, use_opt=self._use_fast)
 
     def pack_tables(self, params):
         """Precompute the gather-layout copy of the scene encoding for a
-        phase where tables are constant (tracking). None for hash mode."""
-        if self.tp_spec is None:
-            return None
-        from ..ops.triplane import triplane_pack
+        phase where tables are constant (tracking). None for the exact
+        per-vertex hash mode (its table is gathered directly)."""
+        if self.tp_spec is not None:
+            from ..ops.triplane import triplane_pack
 
-        return triplane_pack(params["embed_fn"]["table"], self.tp_spec)
+            return triplane_pack(params["embed_fn"]["table"], self.tp_spec)
+        if self._packed_hash:
+            from ..ops.hashgrid_packed import pack_gather_tables
+
+            return pack_gather_tables(params["embed_fn"]["table"], self.spec)
+        return None
 
     # ------------------------------------------------------------------
     # params
@@ -156,6 +171,10 @@ class JointEncoding(Model):
             from ..ops.triplane import triplane_init
 
             table = triplane_init(k1, self.tp_spec)
+        elif self._packed_hash:
+            from ..ops.hashgrid_packed import packed_init
+
+            table = packed_init(k1, self.spec)
         else:
             table = encodings.hashgrid_init(k1, self.spec)
         params: Dict[str, Any] = {
@@ -163,7 +182,12 @@ class JointEncoding(Model):
             "decoder": {"sdf": mlp.mlp_init(k2, sdf_dims), "color": mlp.mlp_init(k3, color_dims)},
         }
         if not c.oneGrid:
-            params["embed_fn_color"] = {"table": encodings.hashgrid_init(k4, self.spec_color)}
+            if self._packed_hash:
+                from ..ops.hashgrid_packed import packed_init
+
+                params["embed_fn_color"] = {"table": packed_init(k4, self.spec_color)}
+            else:
+                params["embed_fn_color"] = {"table": encodings.hashgrid_init(k4, self.spec_color)}
         return params
 
     # ------------------------------------------------------------------
