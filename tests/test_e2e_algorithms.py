@@ -80,9 +80,11 @@ def test_splatam_pipeline(interp_kernels):
             },
         ),
     )
-    pipe, ds, res = _run(cfg, n_frames=4)
+    pipe, ds, res = _run(cfg, n_frames=6)
     assert res["rmse"] * 100 < 10.0
     assert pipe.algorithm.model.n_gauss > 100
+    # the fused per-frame super-step must have engaged for the mid frames
+    assert pipe.algorithm._fused_variants, "fused super-step path not taken"
 
 
 def test_pointslam_pipeline():

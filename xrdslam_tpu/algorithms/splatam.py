@@ -77,8 +77,17 @@ class SplaTAM(Algorithm):
         self.params = self.model.init_params(self._next_key())
         self.dead = jnp.zeros((config.model.max_gaussians,), jnp.bool_)
         self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
-        # keyframes: poses + images (kept on host; windows are small)
+        # keyframes: host Frame list (window ranking) + DEVICE image/pose
+        # store for the fused per-frame program (rgb as uint16 — the same
+        # quantization Frame's upload path uses, so values round-trip
+        # exactly; depth stays f32)
         self.kf_frames: List[Frame] = []
+        H, W = camera.height, camera.width
+        self.kf_rgb_u16 = jnp.zeros((config.max_keyframes, H, W, 3), jnp.uint16)
+        self.kf_depth = jnp.zeros((config.max_keyframes, H, W), jnp.float32)
+        self.kf_w2c = jnp.zeros((config.max_keyframes, 4, 4), jnp.float32)
+        self._count_dev = None  # device gaussian count during fused runs
+        self._pending_kf: List[Tuple[int, Frame]] = []
         self.cur_mesh = None
         self._build_jits()
 
@@ -300,6 +309,7 @@ class SplaTAM(Algorithm):
             new_count = jnp.minimum(count + jnp.sum(ok).astype(jnp.int32), G)
             return params, dead, new_count
 
+        self._grow_fn_raw = grow_step
         self._grow_variants: Dict[Tuple, Any] = {}
 
         def grow_jit(first: bool, ntx: int, nty: int):
@@ -319,6 +329,59 @@ class SplaTAM(Algorithm):
             return model.render(params, alive, w2c, (tiles, mask), ntx, nty)
 
         self._render = jax.jit(render_full)
+
+        # -------- fused per-frame super-step: predict -> bin -> track ->
+        # grow -> window bin -> map -> [kf insert], ONE device program.
+        # SplaTAM maps every frame (reference map_every=1), so the per-frame
+        # path's 5+ dispatch/fetch round trips (~30 ms each over the tunnel)
+        # dominated its 0.86 fps steady state. ------------------------------
+        def predict_quat(t1, q1, t2, q2):
+            R1 = lie.quaternion_to_matrix(q1)
+            R2 = lie.quaternion_to_matrix(q2)
+            dR = R1 @ R2.T
+            dt = t1 - dR @ t2
+            Rp = dR @ R1
+            tp = dR @ t1 + dt
+            return tp, lie.matrix_to_quaternion(Rp)
+
+        def fused_step(params, dead, count, kf_rgb, kf_depth, kf_w2c,
+                       rgb, depth, win_slots, n_valid, t1, q1, t2, q2, key,
+                       kf_slot, *, ntx, nty, n_iters, densify, do_kf):
+            k1, k2 = jax.random.split(key)
+            tp, qp = predict_quat(t1, q1, t2, q2)
+            w2c_p = lie.pose_inverse(lie.pose_vec_to_matrix(tp, qp, rot_rep="quat"))
+            tiles, mask = binning(params, dead, count, w2c_p)
+            bt, bq, _ = track_step(params, dead, count, rgb, depth, tp, qp,
+                                   tiles, mask, k1, ntx=ntx, nty=nty)
+            c2w = lie.pose_vec_to_matrix(bt, bq, rot_rep="quat")
+            w2c_cur = lie.pose_inverse(c2w)
+            params, dead, count = grow_step(params, dead, count, rgb, depth,
+                                            c2w, first=False, ntx=ntx, nty=nty)
+            # window rows: [kf slots..., cur at n_valid-1, cur pads]
+            cur_img = jnp.concatenate([rgb, depth[..., None]], -1)
+            kf_imgs = jnp.concatenate(
+                [kf_rgb[win_slots].astype(jnp.float32) / 65535.0,
+                 kf_depth[win_slots][..., None]], -1)
+            images = jnp.concatenate([kf_imgs, cur_img[None]], 0)
+            w2cs = jnp.concatenate([kf_w2c[win_slots], w2c_cur[None]], 0)
+            wn = images.shape[0]
+            is_cur = jnp.arange(wn) >= n_valid - 1
+            images = jnp.where(is_cur[:, None, None, None], cur_img[None], images)
+            w2cs = jnp.where(is_cur[:, None, None], w2c_cur[None], w2cs)
+            tiles_w, masks_w = jax.vmap(lambda w: binning(params, dead, count, w))(w2cs)
+            gparams, dead, count, _ = map_step(
+                params, dead, count, images, w2cs, tiles_w, masks_w, n_valid,
+                k2, n_iters=n_iters, ntx=ntx, nty=nty, densify=densify)
+            params = {**params, **gparams}
+            if do_kf:
+                kf_rgb = kf_rgb.at[kf_slot].set(
+                    (rgb * 65535.0 + 0.5).astype(jnp.uint16))
+                kf_depth = kf_depth.at[kf_slot].set(depth)
+                kf_w2c = kf_w2c.at[kf_slot].set(w2c_cur)
+            return params, dead, count, kf_rgb, kf_depth, kf_w2c, bt[None], bq[None]
+
+        self._fused_raw = fused_step
+        self._fused_variants: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
     def dispatch_tracking(self, cur_frame: Frame):
@@ -393,40 +456,120 @@ class SplaTAM(Algorithm):
         )
         self.params.update(gparams)
         self.model.n_gauss = int(jax.device_get(new_count))
+        self._count_dev = None
         if first:
             self.set_initialized()
 
-    def _select_window(self, cur_frame: Frame) -> List[Frame]:
+    def _select_window_slots(self, cur_depth: np.ndarray, cur_c2w: np.ndarray) -> List[int]:
+        """Overlap keyframe ranking (common.py:342-426) -> kf indices."""
         w = self.config.mapping_window_size
-        if len(self.kf_frames) <= w - 2:
-            frames = list(self.kf_frames)
+        n_kf = len(self.kf_frames)
+        if n_kf <= w - 2:
+            return list(range(n_kf))
+        rng = np.random.default_rng(int(self._next_key()[0]))
+        cam = self.camera
+        d = cur_depth
+        vs, us = np.nonzero(d > 0)
+        pick = rng.integers(0, len(vs), 1600)
+        u, v, z = us[pick], vs[pick], d[vs[pick], us[pick]]
+        dirs = np.stack([(u - cam.cx) / cam.fx, -(v - cam.cy) / cam.fy, -np.ones_like(u, np.float64)], -1)
+        c2w = cur_c2w
+        pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T) * z[:, None]
+        scores = []
+        for f in self.kf_frames[:-1]:
+            w2c = np.linalg.inv(f.get_pose())
+            pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            zc = -pc[:, 2]
+            uu = cam.cx + cam.fx * pc[:, 0] / np.maximum(zc, 1e-6)
+            vv = cam.cy - cam.fy * pc[:, 1] / np.maximum(zc, 1e-6)
+            ok = (zc > 0) & (uu >= 20) & (uu < cam.width - 20) & (vv >= 20) & (vv < cam.height - 20)
+            scores.append(ok.mean())
+        top = np.argsort(scores)[::-1][: w - 2]
+        return sorted(int(t) for t in top) + [n_kf - 1]
+
+    def _select_window(self, cur_frame: Frame) -> List[Frame]:
+        slots = self._select_window_slots(cur_frame.depth, cur_frame.get_pose())
+        return [self.kf_frames[i] for i in slots] + [cur_frame]
+
+    # ------------------------------------------------------------------
+    # fused per-frame super-step (pipeline fast path, map_every=1)
+    # ------------------------------------------------------------------
+    def dispatch_superstep(self, frames: List[Frame], do_kf: bool,
+                           prev_c2w: np.ndarray = None, prev2_c2w: np.ndarray = None,
+                           prev_tr=None, prev2_tr=None):
+        from ..ops import lie_np
+
+        assert len(frames) == 1, "SplaTAM maps every frame (group size 1)"
+        cur = frames[0]
+        cfg = self.config
+        if prev_tr is not None:
+            t1, q1 = prev_tr
+            t2, q2 = prev2_tr
         else:
-            # overlap ranking via depth point projection (common.py:342-426)
-            rng = np.random.default_rng(int(self._next_key()[0]))
-            cam = self.camera
-            d = cur_frame.depth
-            vs, us = np.nonzero(d > 0)
-            pick = rng.integers(0, len(vs), 1600)
-            u, v, z = us[pick], vs[pick], d[vs[pick], us[pick]]
-            dirs = np.stack([(u - cam.cx) / cam.fx, -(v - cam.cy) / cam.fy, -np.ones_like(u, np.float64)], -1)
-            c2w = cur_frame.get_pose()
-            pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T) * z[:, None]
-            scores = []
-            for f in self.kf_frames[:-1]:
-                w2c = np.linalg.inv(f.get_pose())
-                pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
-                zc = -pc[:, 2]
-                uu = cam.cx + cam.fx * pc[:, 0] / np.maximum(zc, 1e-6)
-                vv = cam.cy - cam.fy * pc[:, 1] / np.maximum(zc, 1e-6)
-                ok = (zc > 0) & (uu >= 20) & (uu < cam.width - 20) & (vv >= 20) & (vv < cam.height - 20)
-                scores.append(ok.mean())
-            top = np.argsort(scores)[::-1][: w - 2]
-            frames = [self.kf_frames[i] for i in sorted(top)] + [self.kf_frames[-1]]
-        return frames + [cur_frame]
+            t1, q1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="quat")
+            t2, q2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="quat")
+            t1, q1, t2, q2 = map(jnp.asarray, (t1, q1, t2, q2))
+        # window ranking uses host poses; the newest entries may lag the
+        # device by the pipelining depth (<= 2 frames) — acceptable for a
+        # selection heuristic, and the newest keyframe is always included.
+        est = self.estimate_c2w_list
+        guess = np.asarray(est[-1]) if est else (
+            self.kf_frames[-1].get_pose() if self.kf_frames else np.eye(4, dtype=np.float32))
+        slots = self._select_window_slots(cur.depth, guess)
+        n_valid = len(slots) + 1
+        wn = cfg.mapping_window_size
+        win_slots = jnp.asarray(slots + [0] * (wn - 1 - len(slots)), jnp.int32)
+        count = self._count_dev if self._count_dev is not None else jnp.asarray(self.model.n_gauss, jnp.int32)
+        ntx = (self.camera.width + 15) // 16
+        nty = (self.camera.height + 15) // 16
+        densify = bool(cfg.mapping_use_gaussian_splatting_densification)
+        sig = (ntx, nty, cfg.mapping_n_iters, densify, do_kf)
+        if sig not in self._fused_variants:
+            self._fused_variants[sig] = jax.jit(functools.partial(
+                self._fused_raw, ntx=ntx, nty=nty, n_iters=cfg.mapping_n_iters,
+                densify=densify, do_kf=do_kf))
+        kf_slot = len(self.kf_frames)
+        out = self._fused_variants[sig](
+            self.params, self.dead, count, self.kf_rgb_u16, self.kf_depth,
+            self.kf_w2c, cur.rgb_jax(), cur.depth_jax(), win_slots,
+            jnp.asarray(n_valid, jnp.int32), t1, q1, t2, q2, self._next_key(),
+            jnp.asarray(kf_slot, jnp.int32))
+        (self.params, self.dead, self._count_dev, self.kf_rgb_u16,
+         self.kf_depth, self.kf_w2c, pt, pq) = out
+        if do_kf:
+            if kf_slot >= self.config.max_keyframes:
+                raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
+            self.kf_frames.append(cur)
+            self.keyframe_fids.append(cur.fid)
+        # FIFO of in-flight frames: finish order == dispatch order, so the
+        # next finish call backfills this frame's host pose if it became a
+        # keyframe (the device kf_w2c already has the exact pose)
+        self._pending_kf.append((cur if do_kf else None, self._count_dev))
+        return (pt, pq)
+
+    def finish_superstep(self, handle) -> List[np.ndarray]:
+        from ..ops import lie_np
+
+        fr, count_ref = self._pending_kf.pop(0)
+        pt, pq, count = jax.device_get((handle[0], handle[1], count_ref))
+        self.model.n_gauss = int(count)
+        c2w = lie_np.pose_vec_to_matrix(pt[0], pq[0], rot_rep="quat")
+        if fr is not None:
+            fr.set_pose(c2w)
+        return [c2w]
 
     def add_keyframe(self, keyframe: Frame) -> None:
+        slot = len(self.kf_frames)
+        if slot >= self.config.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
         self.kf_frames.append(keyframe)
         self.keyframe_fids.append(keyframe.fid)
+        c2w = np.asarray(keyframe.get_pose(), np.float64)
+        w2c = np.linalg.inv(c2w).astype(np.float32)
+        self.kf_rgb_u16 = self.kf_rgb_u16.at[slot].set(
+            (keyframe.rgb_jax() * 65535.0 + 0.5).astype(jnp.uint16))
+        self.kf_depth = self.kf_depth.at[slot].set(keyframe.depth_jax())
+        self.kf_w2c = self.kf_w2c.at[slot].set(jnp.asarray(w2c))
 
     def render_img(self, c2w: np.ndarray, gt_depth: Optional[np.ndarray] = None, idx: Optional[int] = None):
         w2c = np.linalg.inv(np.asarray(c2w, np.float64)).astype(np.float32)

@@ -110,6 +110,163 @@ class VoxelHashMap:
         }
 
 
+EMPTY_KEY = np.iinfo(np.int32).min
+
+
+def hash_insert(
+    keys_tbl: jnp.ndarray,
+    vals_tbl: jnp.ndarray,
+    counter: jnp.ndarray,
+    cand: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    max_items: int,
+    n_probes: int = N_PROBES,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vectorized open-addressed hash insertion with in-batch dedupe.
+
+    Device analogue of the host allocator loop: per probe stage, every
+    still-unplaced candidate checks its slot (existing match -> adopt id),
+    empty slots elect ONE winner by scatter-min, winners allocate ids
+    ``counter + rank``, and a post-insert re-read lets duplicate candidates
+    of a winner's key adopt the fresh id in the same stage. Distinct keys
+    that lose a slot race chain to the next probe. Candidates still
+    unplaced after ``n_probes`` stages (chain exhausted / table or
+    ``max_items`` full) return id -1 — callers either retry next frame
+    (voxels) or fall back to slot 0 (vertices, the host allocator's own
+    overflow behavior).
+
+    Returns (keys_tbl, vals_tbl, counter, ids [C]).
+    """
+    cap = keys_tbl.shape[0]
+    c = cand.shape[0]
+    k64 = cand.astype(jnp.int64)
+    h = ((k64[:, 0] * _P1) ^ (k64[:, 1] * _P2) ^ (k64[:, 2] * _P3))
+    h = ((h % cap) + cap) % cap
+    arange = jnp.arange(c, dtype=jnp.int32)
+    ids = jnp.full((c,), -1, jnp.int32)
+    done = ~cand_valid
+    for p in range(n_probes):
+        slot = ((h + p) % cap).astype(jnp.int32)
+        k_at = jnp.take(keys_tbl, slot, axis=0)
+        v_at = jnp.take(vals_tbl, slot, axis=0)
+        match = jnp.all(k_at == cand, -1) & (v_at >= 0) & ~done
+        ids = jnp.where(match, v_at, ids)
+        done = done | match
+        empty = (v_at < 0) & ~done
+        wtbl = jnp.full((cap,), c, jnp.int32).at[slot].min(jnp.where(empty, arange, c))
+        is_w = empty & (jnp.take(wtbl, slot) == arange)
+        rank = jnp.cumsum(is_w.astype(jnp.int32))
+        new_id = counter + rank - 1
+        ok = is_w & (new_id < max_items)
+        sslot = jnp.where(ok, slot, cap)
+        keys_tbl = keys_tbl.at[sslot].set(cand, mode="drop")
+        vals_tbl = vals_tbl.at[sslot].set(new_id, mode="drop")
+        ids = jnp.where(ok, new_id, ids)
+        done = done | ok
+        counter = counter + jnp.sum(ok)
+        # duplicates of this stage's winners adopt the fresh entry
+        k_at2 = jnp.take(keys_tbl, slot, axis=0)
+        v_at2 = jnp.take(vals_tbl, slot, axis=0)
+        match2 = jnp.all(k_at2 == cand, -1) & (v_at2 >= 0) & ~done
+        ids = jnp.where(match2, v_at2, ids)
+        done = done | match2
+    return keys_tbl, vals_tbl, counter, ids
+
+
+def insert_points_device(
+    maps: Dict[str, jnp.ndarray],
+    pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    voxel_size: float,
+    max_voxels: int,
+    max_vertices: int,
+    max_new: int = 4096,
+) -> Dict[str, jnp.ndarray]:
+    """ON-DEVICE voxel allocation from back-projected points — replaces the
+    per-mapping-frame host insertion loop (reference: the CPU octree insert,
+    slam/algorithms/voxfusion.py:96-110; round-2 host VoxelHashMap).
+
+    One jittable program: membership lookup for every point, winner-per-
+    slot pre-dedupe, compaction to ``max_new`` candidates, probe-staged
+    hash insertion (voxels), then shared-vertex embedding allocation for
+    the new voxels through a second (vertex) hash table. Coords dropped by
+    slot races or the ``max_new`` budget are simply re-attempted on the
+    next mapping frame (insertion is monotone).
+
+    ``maps`` needs: hash_keys, hash_vals, vox_coords, vox_centers,
+    vox_vertex_idx, n_voxels, vhash_keys, vhash_vals, n_vertices.
+    """
+    cap = maps["hash_keys"].shape[0]
+    n = pts.shape[0]
+    cc = jnp.floor(pts / voxel_size).astype(jnp.int32)
+    cc = jnp.where(valid[:, None], cc, EMPTY_KEY)
+    vidx = lookup_voxels(maps["hash_keys"], maps["hash_vals"], cc)
+    new = valid & (vidx < 0)
+    # winner-per-home-slot pre-dedupe: one candidate per distinct key
+    # (distinct keys sharing a home slot lose a frame, not correctness)
+    c64 = cc.astype(jnp.int64)
+    h0 = ((c64[:, 0] * _P1) ^ (c64[:, 1] * _P2) ^ (c64[:, 2] * _P3))
+    h0 = (((h0 % cap) + cap) % cap).astype(jnp.int32)
+    ar = jnp.arange(n, dtype=jnp.int32)
+    wt = jnp.full((cap,), n, jnp.int32).at[h0].min(jnp.where(new, ar, n))
+    pre = new & (jnp.take(wt, h0) == ar)
+    (idx,) = jnp.nonzero(pre, size=max_new, fill_value=n)
+    cc_pad = jnp.concatenate([cc, jnp.full((1, 3), EMPTY_KEY, jnp.int32)], 0)
+    cand = cc_pad[idx]
+    cand_valid = idx < n
+
+    n_vox0 = maps["n_voxels"]
+    hk, hv, n_vox, vids = hash_insert(
+        maps["hash_keys"], maps["hash_vals"], n_vox0, cand, cand_valid, max_voxels)
+    newly = (vids >= n_vox0) & cand_valid
+    tgt = jnp.where(newly, vids, max_voxels)
+    vox_coords = maps["vox_coords"].at[tgt].set(cand, mode="drop")
+    vox_centers = maps["vox_centers"].at[tgt].set(
+        (cand.astype(jnp.float32) + 0.5) * voxel_size, mode="drop")
+
+    # shared vertex embedding slots for the new voxels
+    corners = jnp.asarray(CORNERS, jnp.int32)  # [8, 3]
+    vkeys = cand[:, None, :] + corners[None]  # [C, 8, 3]
+    vkeys = jnp.where(newly[:, None, None], vkeys, EMPTY_KEY).reshape(-1, 3)
+    ei0 = lookup_voxels(maps["vhash_keys"], maps["vhash_vals"], vkeys)
+    vvalid = jnp.repeat(newly, 8) & (ei0 < 0)
+    vk, vv, n_vert, eins = hash_insert(
+        maps["vhash_keys"], maps["vhash_vals"], maps["n_vertices"],
+        jnp.where(vvalid[:, None], vkeys, EMPTY_KEY), vvalid, max_vertices)
+    ei = jnp.where(ei0 >= 0, ei0, jnp.maximum(eins, 0)).reshape(-1, 8)
+    vox_vertex_idx = maps["vox_vertex_idx"].at[tgt].set(ei, mode="drop")
+
+    return {
+        "hash_keys": hk,
+        "hash_vals": hv,
+        "vox_coords": vox_coords,
+        "vox_centers": vox_centers,
+        "vox_vertex_idx": vox_vertex_idx,
+        "n_voxels": n_vox,
+        "vhash_keys": vk,
+        "vhash_vals": vv,
+        "n_vertices": n_vert,
+    }
+
+
+def empty_device_maps(
+    max_voxels: int, max_vertices: int, hash_cap: int = 1 << 16
+) -> Dict[str, jnp.ndarray]:
+    """Fresh all-device voxel map state (see insert_points_device)."""
+    return {
+        "hash_keys": jnp.full((hash_cap, 3), EMPTY_KEY, jnp.int32),
+        "hash_vals": jnp.full((hash_cap,), -1, jnp.int32),
+        "vox_coords": jnp.zeros((max_voxels, 3), jnp.int32),
+        "vox_centers": jnp.zeros((max_voxels, 3), jnp.float32),
+        "vox_vertex_idx": jnp.zeros((max_voxels, 8), jnp.int32),
+        "n_voxels": jnp.asarray(0, jnp.int32),
+        "vhash_keys": jnp.full((hash_cap, 3), EMPTY_KEY, jnp.int32),
+        "vhash_vals": jnp.full((hash_cap,), -1, jnp.int32),
+        "n_vertices": jnp.asarray(0, jnp.int32),
+    }
+
+
 def lookup_voxels(hash_keys: jnp.ndarray, hash_vals: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Device-side voxel membership: int coords [..., 3] -> voxel idx or -1.
 

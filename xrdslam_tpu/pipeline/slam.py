@@ -156,20 +156,21 @@ class SLAMPipeline:
             print(f"[slam] resumed from {self._ckpt_path} at frame {start}", flush=True)
 
         # fused group fast path: one device program per map_every frames
-        # (track head -> map head -> kf -> track rest), one pose fetch per
+        # (track head -> map head -> kf -> track rest; for map_every=1 the
+        # "group" is a single fused track+map frame), one pose fetch per
         # group. Usable when the group structure is static and no per-frame
         # host consumer needs intermediate results; warmup frames, the
-        # final group (forced final-frame mapping), and off-cycle frames
-        # fall back to the per-frame path.
+        # lazy-start region, the final group (forced final-frame mapping),
+        # and off-cycle frames fall back to the per-frame path.
         group = cfg_t.map_every
         use_super = (
-            group > 1
+            group >= 1
             and hasattr(algo, "dispatch_superstep")
-            and cfg_t.lazy_start < 0
             and not (cfg_t.save_debug_result and cfg_t.render_freq > 0)
             and self.vis is None  # live viz needs per-frame results
             and cfg_m.keyframe_every % group == 0
         )
+        self._dev_pose_hist = []  # last two (t, r) DEVICE pose vectors
 
         trace_lo = trace_hi = -1
         if self.config.profile_trace_frames:
@@ -196,13 +197,15 @@ class SLAMPipeline:
                 # >= 2*group (not just >= 2): the first per-frame group
                 # compiles the track/map programs, so warmup cost doesn't
                 # land mid-run when the tail frames need them again
-                and i >= 2 * group
+                and i >= max(2 * group, 2)
+                and i > cfg_t.lazy_start + group
                 and i + group < n
                 and algo.is_initialized()
             ):
                 i = self._super_group(i, n, group)
             else:
                 self._flush_super()  # per-frame work needs host poses current
+                self._dev_pose_hist = []  # re-seed prediction from host poses
                 self._frame_step(i, n)
                 i += 1
         self._flush_super()
@@ -240,13 +243,22 @@ class SLAMPipeline:
             frames.append(fr)
 
         do_kf = i % cfg_m.keyframe_every == 0
-        if self._pending_super is None:
+        if not self._dev_pose_hist:
             est = algo.estimate_c2w_list
             handle = algo.dispatch_superstep(frames, do_kf, est[i - 1], est[i - 2])
         else:
-            pt, pr = self._pending_super[2]
+            # group-level software pipelining: seed the constant-velocity
+            # model with the previous groups' DEVICE pose outputs (no sync).
+            # With group=1 the second dispatch has only one device pose in
+            # the history; repeating it degrades prediction to constant
+            # position for that single frame (tracking recovers it).
+            prev2 = self._dev_pose_hist[-2] if len(self._dev_pose_hist) >= 2 else self._dev_pose_hist[-1]
             handle = algo.dispatch_superstep(
-                frames, do_kf, prev_tr=(pt[-1], pr[-1]), prev2_tr=(pt[-2], pr[-2]))
+                frames, do_kf, prev_tr=self._dev_pose_hist[-1], prev2_tr=prev2)
+        pt, pr = handle
+        for j in range(pt.shape[0]):
+            self._dev_pose_hist.append((pt[j], pr[j]))
+        self._dev_pose_hist = self._dev_pose_hist[-2:]
         # overlap the next group's host decode + device upload with the
         # in-flight programs
         for j in range(i + group, min(i + 2 * group, n)):
