@@ -55,7 +55,9 @@ def test_voxfusion_pipeline():
     )
     pipe, ds, res = _run(cfg)
     assert res["rmse"] * 100 < 10.0
-    assert pipe.algorithm.vox_map.n_voxels > 10
+    assert int(pipe.algorithm.maps["n_voxels"]) > 10
+    # the fused per-frame super-step must have engaged for the mid frames
+    assert pipe.algorithm._fused_variants, "fused super-step path not taken"
 
 
 def test_splatam_pipeline(interp_kernels):
@@ -87,6 +89,44 @@ def test_splatam_pipeline(interp_kernels):
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
 
 
+def test_nice_slam_fused_pipeline():
+    """NICE-SLAM through the pipeline with the fused group super-step."""
+    from xrdslam_tpu.algorithms.nice_slam import NiceSLAMConfig
+    from xrdslam_tpu.common.mesher import MesherConfig
+    from xrdslam_tpu.engine.schedulers import LRconfig, NiceSLAMSchedulerConfig as NS
+    from xrdslam_tpu.models.conv_onet import ConvOnetConfig
+
+    bound = [[-1.5, 1.5], [-1.5, 1.5], [-1.5, 1.5]]
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=2, render_freq=-1, save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=2),
+        algorithm=NiceSLAMConfig(
+            coarse=True, rot_rep="quat", tracking_n_iters=6, mapping_n_iters=10,
+            mapping_first_n_iters=30, mapping_window_size=3,
+            tracking_sample=160, mapping_sample=300, min_sample_pixels=40,
+            ray_batch_size=512, tracking_Wedge=6, tracking_Hedge=6,
+            mapping_bound=bound, marching_cubes_bound=bound,
+            mapping_color_refine=False, max_keyframes=8,
+            mesher=MesherConfig(resolution=32),
+            model=ConvOnetConfig(grid_len_middle=0.32, grid_len_fine=0.16,
+                                 grid_len_color=0.16, rendering_n_samples=24,
+                                 rendering_n_surface=12),
+            optimizers={
+                "decoder": {"optimizer": A(), "scheduler": NS(stage_lr=LRconfig(coarse=0.0, middle=0.0, fine=0.0, color=0.005))},
+                "grid_coarse": {"optimizer": A(), "scheduler": NS(stage_lr=LRconfig(coarse=0.001, middle=0.0, fine=0.0, color=0.0))},
+                "grid_middle": {"optimizer": A(), "scheduler": NS(stage_lr=LRconfig(coarse=0.0, middle=0.1, fine=0.005, color=0.005))},
+                "grid_fine": {"optimizer": A(), "scheduler": NS(stage_lr=LRconfig(coarse=0.0, middle=0.0, fine=0.005, color=0.005))},
+                "grid_color": {"optimizer": A(), "scheduler": NS(stage_lr=LRconfig(coarse=0.0, middle=0.0, fine=0.0, color=0.005))},
+                "tracking_pose": {"optimizer": A(lr=1e-3), "scheduler": None},
+                "mapping_pose": {"optimizer": A(), "scheduler": NS(stage_lr=LRconfig(coarse=0.0, middle=0.0, fine=0.0, color=0.001))},
+            },
+        ),
+    )
+    pipe, ds, res = _run(cfg, n_frames=8)
+    assert res["rmse"] * 100 < 10.0
+    assert pipe.algorithm._fused_variants, "fused super-step path not taken"
+
+
 def test_pointslam_pipeline():
     from xrdslam_tpu.algorithms.point_slam import PointSLAMConfig
     from xrdslam_tpu.engine.schedulers import PointSLAMSchedulerConfig as S
@@ -110,6 +150,8 @@ def test_pointslam_pipeline():
             },
         ),
     )
-    pipe, ds, res = _run(cfg)
+    pipe, ds, res = _run(cfg, n_frames=8)
     assert res["rmse"] * 100 < 6.0
     assert pipe.algorithm.point_map.n_points > 100
+    # the fused two-program super-step must have engaged for the mid frames
+    assert pipe.algorithm._fused_variants, "fused super-step path not taken"

@@ -7,7 +7,7 @@ from xrdslam_tpu.pipeline.slam import MapperConfig, SLAMPipelineConfig, TrackerC
 from xrdslam_tpu.utils.eval_ate import evaluate_ate
 
 which = sys.argv[1]
-ds = SyntheticDataset(n_frames=8, height=120, width=160)
+ds = SyntheticDataset(n_frames=int(os.environ.get("SMOKE_FRAMES", 8)), height=120, width=160)
 for i in range(len(ds)): ds[i]
 
 if which == "voxfusion":

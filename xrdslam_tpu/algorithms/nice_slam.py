@@ -86,6 +86,10 @@ class NiceSLAM(Algorithm):
         H, W = camera.height, camera.width
         self.kf_images = jnp.zeros((self.max_kf, H, W, 4), jnp.float32)
         self.kf_pose = jnp.zeros((self.max_kf, 7), jnp.float32)  # t(3) + quat(4)
+        # host mirror of kf poses for overlap ranking: reading the device
+        # array would synchronize with in-flight fused programs; the mirror
+        # may lag by the pipelining depth, fine for a selection heuristic
+        self.kf_pose_host = np.zeros((self.max_kf, 7), np.float32)
         self.kf_count = 0
         self._dirs = camera_ray_dirs(camera)
         self.cur_mesh = None
@@ -260,6 +264,78 @@ class NiceSLAM(Algorithm):
 
         self._map_step_raw = map_step
 
+        # -------- fused group super-step: track(head) -> frustum masks ->
+        # fine map -> coarse map -> [kf insert] -> track trailing frames,
+        # ONE device program per map_every-frame group (Co-SLAM pattern,
+        # coslam.py _get_super_step). ---------------------------------------
+        def predict_q(p1, p2):
+            R1 = lie.quaternion_to_matrix(p1[3:])
+            R2 = lie.quaternion_to_matrix(p2[3:])
+            dR = R1 @ R2.T
+            dt = p1[:3] - dR @ p2[:3]
+            Rp = dR @ R1
+            tp = dR @ p1[:3] + dt
+            return jnp.concatenate([tp, lie.matrix_to_quaternion(Rp)])
+
+        def window_arrays(kf_images, kf_pose, slots, n_valid, cur_img, cur_pose, wn):
+            images = jnp.concatenate([kf_images[slots], cur_img[None]], 0)
+            poses = jnp.concatenate([kf_pose[slots], cur_pose[None]], 0)
+            is_cur = jnp.arange(wn) >= n_valid - 1
+            images = jnp.where(is_cur[:, None, None, None], cur_img[None], images)
+            poses = jnp.where(is_cur[:, None], cur_pose[None], poses)
+            return images, poses
+
+        def fused_step(params, kf_images, kf_pose, rgbs, depths, fine_slots,
+                       coarse_slots, n_valid_f, n_valid_c, prev_pose, prev2_pose,
+                       key, kf_slot, *, group, n_iters, lr_factor,
+                       optimize_pose, do_kf):
+            keys = jax.random.split(key, group + 3)
+            p0 = predict_q(prev_pose, prev2_pose)
+            best, _ = track_step(params, rgbs[0], depths[0], p0, keys[0])
+            cur_img = jnp.concatenate([rgbs[0], depths[0][..., None]], -1)
+            c2w = lie.pose_vec_to_matrix(best[:3], best[3:], rot_rep="quat")
+            masks = (model.frustum_grid_masks_dev(c2w, depths[0])
+                     if cfg.model.mapping_frustum_feature_selection else {})
+            wn = cfg.mapping_window_size + 1
+            images, poses = window_arrays(kf_images, kf_pose, fine_slots,
+                                          n_valid_f, cur_img, best, wn)
+            params, new_poses = map_step(
+                params, images, poses, masks, n_valid_f, keys[group],
+                n_frames=wn, n_iters=n_iters, lr_factor=lr_factor,
+                optimize_pose=optimize_pose, coarse=False)
+            if optimize_pose:
+                real = jnp.arange(wn - 1) < n_valid_f - 1
+                sl = jnp.where(real, fine_slots, kf_pose.shape[0])
+                kf_pose = kf_pose.at[sl].set(new_poses[: wn - 1], mode="drop")
+            cur_pose = new_poses[n_valid_f - 1]
+            if cfg.coarse:
+                wc = cfg.mapping_window_size
+                images_c, poses_c = window_arrays(kf_images, kf_pose, coarse_slots,
+                                                  n_valid_c, cur_img, cur_pose, wc)
+                params, _ = map_step(
+                    params, images_c, poses_c, {}, n_valid_c, keys[group + 1],
+                    n_frames=wc, n_iters=n_iters, lr_factor=lr_factor,
+                    optimize_pose=False, coarse=True)
+            if do_kf:
+                kf_images = kf_images.at[kf_slot].set(cur_img)
+                kf_pose = kf_pose.at[kf_slot].set(cur_pose)
+
+            def tail_body(carry, xs):
+                p1, p2 = carry
+                rgb_j, depth_j, key_j = xs
+                pj = predict_q(p1, p2)
+                bj, _ = track_step(params, rgb_j, depth_j, pj, key_j)
+                return (bj, p1), bj
+
+            (_, _), tail = jax.lax.scan(
+                tail_body, (cur_pose, prev_pose),
+                (rgbs[1:], depths[1:], keys[1:group]))
+            all_poses = jnp.concatenate([cur_pose[None], tail], 0)
+            return (params, kf_images, kf_pose, all_poses[:, :3], all_poses[:, 3:])
+
+        self._fused_raw = fused_step
+        self._fused_variants: Dict[Tuple, Any] = {}
+
         # ---------------- renders / queries ----------------------------
         def render_chunk(params, rays_o, rays_d, target_d, key):
             return model.render_rays(params, key, rays_o, rays_d, target_d, "color")
@@ -309,7 +385,7 @@ class NiceSLAM(Algorithm):
         bp = np.asarray(handle)
         return lie_np.pose_vec_to_matrix(bp[:3], bp[3:], rot_rep="quat")
 
-    def _select_window(self, cur_frame: Frame) -> List[int]:
+    def _select_window(self, cur_depth: np.ndarray, cur_c2w: np.ndarray) -> List[int]:
         """Overlap keyframe selection -> list of kf slots (oldest first)."""
         k = self.config.mapping_window_size - 2
         if self.kf_count <= self.config.mapping_window_size:
@@ -318,27 +394,26 @@ class NiceSLAM(Algorithm):
             rng = np.random.default_rng(int(self._next_key()[0]))
             sel = list(rng.permutation(self.kf_count - 1)[:k]) + [self.kf_count - 1]
         else:
-            sel = self._overlap_selection(cur_frame, k) + [self.kf_count - 1]
+            sel = self._overlap_selection(cur_depth, cur_c2w, k) + [self.kf_count - 1]
         return sorted(set(int(s) for s in sel))
 
-    def _overlap_selection(self, cur_frame: Frame, k: int, pixs: int = 100, n_samples: int = 16) -> List[int]:
+    def _overlap_selection(self, depth: np.ndarray, cur_c2w: np.ndarray, k: int, pixs: int = 100, n_samples: int = 16) -> List[int]:
         cam = self.camera
         rng = np.random.default_rng(int(self._next_key()[0]))
-        depth = cur_frame.depth
         vs, us = np.where(depth > 0)
         if len(vs) == 0:
             return list(rng.permutation(max(self.kf_count - 1, 0))[:k])
         pick = rng.integers(0, len(vs), pixs)
         u, v = us[pick].astype(np.float64), vs[pick].astype(np.float64)
         d = depth[vs[pick], us[pick]].astype(np.float64)
-        c2w = cur_frame.get_pose().astype(np.float64)
+        c2w = np.asarray(cur_c2w, np.float64)
         dirs = np.stack([(u - cam.cx) / cam.fx, -(v - cam.cy) / cam.fy, -np.ones_like(u)], -1)
         t_vals = np.linspace(0.0, 1.0, n_samples)
         z = (0.8 * d)[:, None] * (1 - t_vals)[None] + (d + 0.5)[:, None] * t_vals[None]
         pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T)[:, None, :] * z[..., None]
         pts = pts.reshape(-1, 3)
         scores = []
-        kf_pose_np = np.asarray(self.kf_pose)
+        kf_pose_np = self.kf_pose_host
         for i in range(self.kf_count - 1):
             from ..ops import lie_np
 
@@ -367,7 +442,7 @@ class NiceSLAM(Algorithm):
 
         cur_pose = np.concatenate([cur_frame.t, cur_frame.r]).astype(np.float32)
         for _ in range(outer_iters):
-            slots = self._select_window(cur_frame)[-window_size:]
+            slots = self._select_window(cur_frame.depth, cur_frame.get_pose())[-window_size:]
             n_valid = len(slots) + 1
             images, poses = self._gather_window(slots, cur_frame, cur_pose,
                                                 pad_to=window_size + 1)
@@ -385,6 +460,7 @@ class NiceSLAM(Algorithm):
             if optimize_pose:
                 for j, s in enumerate(slots):
                     self.kf_pose = self.kf_pose.at[s].set(jnp.asarray(new_poses[j]))
+                    self.kf_pose_host[s] = new_poses[j]
                 cur_pose = new_poses[n_valid - 1]
                 cur_frame.t = cur_pose[:3].copy()
                 cur_frame.r = cur_pose[3:].copy()
@@ -419,13 +495,86 @@ class NiceSLAM(Algorithm):
         # [0, n_valid)
         return self.pad_window(images, poses, cur_img, cur_pose, pad_to)
 
+    # ------------------------------------------------------------------
+    # fused group super-step (pipeline fast path)
+    # ------------------------------------------------------------------
+    def dispatch_superstep(self, frames: List[Frame], do_kf: bool,
+                           prev_c2w: np.ndarray = None, prev2_c2w: np.ndarray = None,
+                           prev_tr=None, prev2_tr=None):
+        from ..ops import lie_np
+
+        cfg = self.config
+        group = len(frames)
+        if prev_tr is not None:
+            p1 = jnp.concatenate([prev_tr[0], prev_tr[1]])
+            p2 = jnp.concatenate([prev2_tr[0], prev2_tr[1]])
+        else:
+            t1, q1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="quat")
+            t2, q2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="quat")
+            p1 = jnp.asarray(np.concatenate([t1, q1]), jnp.float32)
+            p2 = jnp.asarray(np.concatenate([t2, q2]), jnp.float32)
+        cur = frames[0]
+        est = self.estimate_c2w_list
+        guess = np.asarray(est[-1]) if est else np.eye(4, dtype=np.float32)
+        wn1 = cfg.mapping_window_size  # fine slot count (window + cur = wn1+1)
+        slots = self._select_window(cur.depth, guess)[-wn1:]
+        n_valid_f = len(slots) + 1
+        fine_slots = jnp.asarray(slots + [0] * (wn1 - len(slots)), jnp.int32)
+        # coarse window: random keyframes + newest (do_mapping coarse path)
+        rng = np.random.default_rng(int(self._next_key()[0]))
+        kc = cfg.mapping_window_size - 2
+        cslots = sorted(int(s) for s in rng.permutation(max(self.kf_count - 1, 0))[:kc])
+        if self.kf_count:
+            cslots += [self.kf_count - 1]
+        n_valid_c = len(cslots) + 1
+        coarse_slots = jnp.asarray(
+            cslots + [0] * (cfg.mapping_window_size - 1 - len(cslots)), jnp.int32)
+        optimize_pose = self.kf_count > 4
+        sig = (group, cfg.mapping_n_iters, cfg.mapping_lr_factor, optimize_pose, do_kf)
+        if sig not in self._fused_variants:
+            self._fused_variants[sig] = jax.jit(functools.partial(
+                self._fused_raw, group=group, n_iters=cfg.mapping_n_iters,
+                lr_factor=cfg.mapping_lr_factor, optimize_pose=optimize_pose,
+                do_kf=do_kf))
+        kf_slot = self.kf_count
+        if do_kf and kf_slot >= self.max_kf:
+            raise RuntimeError(f"keyframe capacity {self.max_kf} exceeded; raise max_keyframes")
+        rgbs = jnp.stack([f.rgb_jax() for f in frames])
+        depths = jnp.stack([f.depth_jax() for f in frames])
+        out = self._fused_variants[sig](
+            self.model_params, self.kf_images, self.kf_pose, rgbs, depths,
+            fine_slots, coarse_slots, jnp.asarray(n_valid_f, jnp.int32),
+            jnp.asarray(n_valid_c, jnp.int32), p1, p2, self._next_key(),
+            jnp.asarray(kf_slot, jnp.int32))
+        self.model_params, self.kf_images, self.kf_pose, pt, pq = out
+        if do_kf:
+            self.kf_count += 1
+            self.keyframe_fids.append(cur.fid)
+        # FIFO: finish order == dispatch order under pipelining
+        if not hasattr(self, "_kf_slot_fifo"):
+            self._kf_slot_fifo = []
+        self._kf_slot_fifo.append(kf_slot if do_kf else None)
+        return (pt, pq)
+
+    def finish_superstep(self, handle) -> List[np.ndarray]:
+        from ..ops import lie_np
+
+        pt, pq = jax.device_get(handle)
+        slot = self._kf_slot_fifo.pop(0)
+        if slot is not None:
+            self.kf_pose_host[slot] = np.concatenate([pt[0], pq[0]])
+        return [lie_np.pose_vec_to_matrix(pt[j], pq[j], rot_rep="quat")
+                for j in range(pt.shape[0])]
+
     def add_keyframe(self, keyframe: Frame) -> None:
         if self.kf_count >= self.max_kf:
             raise RuntimeError(f"keyframe capacity {self.max_kf} exceeded; raise max_keyframes")
         slot = self.kf_count
         rgbd = jnp.concatenate([keyframe.rgb_jax(), keyframe.depth_jax()[..., None]], -1)
         self.kf_images = self.kf_images.at[slot].set(rgbd)
-        self.kf_pose = self.kf_pose.at[slot].set(jnp.concatenate([jnp.asarray(keyframe.t), jnp.asarray(keyframe.r)]))
+        pose = np.concatenate([keyframe.t, keyframe.r]).astype(np.float32)
+        self.kf_pose = self.kf_pose.at[slot].set(jnp.asarray(pose))
+        self.kf_pose_host[slot] = pose
         self.kf_count += 1
         self.keyframe_fids.append(keyframe.fid)
 

@@ -258,6 +258,58 @@ class PointSLAM(Algorithm):
 
         self._map_step_raw = map_step
 
+        # -------- fused group super-step (two programs per group):
+        # A: predict + track the head frame (host fetches the pose — the
+        #    group's single sync — and runs density-driven point addition,
+        #    which stays host-side like the reference's FAISS mutation);
+        # B: mapping + trailing-frame tracking scan, one program.
+        def predict_q(p1, p2):
+            R1 = lie.quaternion_to_matrix(p1[3:])
+            R2 = lie.quaternion_to_matrix(p2[3:])
+            dR = R1 @ R2.T
+            tp = dR @ p1[:3] + (p1[:3] - dR @ p2[:3])
+            return jnp.concatenate([tp, lie.matrix_to_quaternion(dR @ R1)])
+
+        def track_head(params, maps, rgbdr, p1, p2, key):
+            p0 = predict_q(p1, p2)
+            best, _ = track_step(params, maps, rgbdr, p0, key)
+            return best
+
+        self._track_head_jit = jax.jit(track_head)
+
+        def map_tail(params, maps, kf_images, kf_pose, rgbdrs, cur_pose,
+                     win_slots, n_valid, grad_uv, prev_pose, key, kf_slot, *,
+                     group, n_iters, n_grad, do_kf):
+            keys = jax.random.split(key, group + 1)
+            wn = cfg.mapping_window_size
+            cur_img = rgbdrs[0]
+            images = jnp.concatenate([kf_images[win_slots], cur_img[None]], 0)
+            poses = jnp.concatenate([kf_pose[win_slots], cur_pose[None]], 0)
+            is_cur = jnp.arange(wn) >= n_valid - 1
+            images = jnp.where(is_cur[:, None, None, None], cur_img[None], images)
+            poses = jnp.where(is_cur[:, None], cur_pose[None], poses)
+            params = map_step(params, maps, images, poses, grad_uv, n_valid,
+                              keys[group], n_frames=wn, n_iters=n_iters,
+                              n_grad=n_grad)
+            if do_kf:
+                kf_images = kf_images.at[kf_slot].set(cur_img)
+                kf_pose = kf_pose.at[kf_slot].set(cur_pose)
+
+            def tail_body(carry, xs):
+                p1, p2 = carry
+                rgbdr_j, key_j = xs
+                pj = predict_q(p1, p2)
+                bj, _ = track_step(params, maps, rgbdr_j, pj, key_j)
+                return (bj, p1), bj
+
+            (_, _), tail = jax.lax.scan(
+                tail_body, (cur_pose, prev_pose), (rgbdrs[1:], keys[:group - 1]))
+            all_poses = jnp.concatenate([cur_pose[None], tail], 0)
+            return params, kf_images, kf_pose, all_poses[:, :3], all_poses[:, 3:]
+
+        self._map_tail_raw = map_tail
+        self._fused_variants: Dict[Tuple, Any] = {}
+
         def render_chunk(params, maps, rays_o, rays_d, td, key):
             # offline render: use the max dynamic query radius everywhere
             # (frames rendered without a stored per-pixel r map)
@@ -376,6 +428,72 @@ class PointSLAM(Algorithm):
             jnp.asarray(n_valid, jnp.int32), self._next_key())
         if first:
             self.set_initialized()
+
+    # ------------------------------------------------------------------
+    # fused group super-step (pipeline fast path)
+    # ------------------------------------------------------------------
+    def dispatch_superstep(self, frames: List[Frame], do_kf: bool,
+                           prev_c2w: np.ndarray = None, prev2_c2w: np.ndarray = None,
+                           prev_tr=None, prev2_tr=None):
+        from ..ops import lie_np
+
+        cfg = self.config
+        group = len(frames)
+        cur = frames[0]
+        if prev_tr is not None:
+            p1 = jnp.concatenate([prev_tr[0], prev_tr[1]])
+            p2 = jnp.concatenate([prev2_tr[0], prev2_tr[1]])
+        else:
+            t1, q1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="quat")
+            t2, q2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="quat")
+            p1 = jnp.asarray(np.concatenate([t1, q1]), jnp.float32)
+            p2 = jnp.asarray(np.concatenate([t2, q2]), jnp.float32)
+        rgbdrs = jnp.stack([self._frame_rgbdr(f) for f in frames])
+        best = self._track_head_jit(self.model_params, self.maps, rgbdrs[0], p1, p2, self._next_key())
+        bp = np.asarray(best)  # the group's single host sync
+        cur.t, cur.r = bp[:3].copy(), bp[3:].copy()
+        # density-driven growth (host, like the reference FAISS mutation)
+        self.add_points_from_frame(cur, cfg.pixels_adding)
+        # window: random keyframes + current (do_mapping's selection)
+        k = cfg.mapping_window_size - 1
+        if self.kf_count <= k:
+            slots = list(range(self.kf_count))
+        else:
+            rng = np.random.default_rng(int(self._next_key()[0]))
+            slots = sorted(int(s) for s in rng.permutation(self.kf_count - 1)[: k - 1]) + [self.kf_count - 1]
+        n_valid = len(slots) + 1
+        wn = cfg.mapping_window_size
+        win_slots = jnp.asarray(slots + [0] * (wn - 1 - len(slots)), jnp.int32)
+        n_grad = cfg.mapping_pixels_based_on_color_grad
+        if n_grad > 0:
+            gu, gv = self._top_grad_pixels(cur.rgb, n_grad)
+            grad_uv = jnp.asarray(np.stack([gu, gv], -1), jnp.int32)
+        else:
+            grad_uv = jnp.zeros((0, 2), jnp.int32)
+        sig = (group, cfg.mapping_n_iters, n_grad, do_kf)
+        if sig not in self._fused_variants:
+            self._fused_variants[sig] = jax.jit(functools.partial(
+                self._map_tail_raw, group=group, n_iters=cfg.mapping_n_iters,
+                n_grad=n_grad, do_kf=do_kf))
+        kf_slot = self.kf_count
+        if do_kf and kf_slot >= cfg.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded")
+        out = self._fused_variants[sig](
+            self.model_params, self.maps, self.kf_images, self.kf_pose,
+            rgbdrs, jnp.asarray(bp), win_slots, jnp.asarray(n_valid, jnp.int32),
+            grad_uv, p1, self._next_key(), jnp.asarray(kf_slot, jnp.int32))
+        self.model_params, self.kf_images, self.kf_pose, pt, pq = out
+        if do_kf:
+            self.kf_count += 1
+            self.keyframe_fids.append(cur.fid)
+        return (pt, pq)
+
+    def finish_superstep(self, handle) -> List[np.ndarray]:
+        from ..ops import lie_np
+
+        pt, pq = jax.device_get(handle)
+        return [lie_np.pose_vec_to_matrix(pt[j], pq[j], rot_rep="quat")
+                for j in range(pt.shape[0])]
 
     def add_keyframe(self, keyframe: Frame) -> None:
         if self.kf_count >= self.config.max_keyframes:

@@ -4,9 +4,9 @@ TPU-native rebuild of the reference algorithm (reference:
 slam/algorithms/voxfusion.py:28-278). Structural mapping:
 
   * Voxel creation per mapping frame back-projects the depth image and
-    inserts voxels host-side (reference: voxfusion.py:96-110 via the C++
-    octree) into ops.voxel_hash.VoxelHashMap; the device mirror arrays are
-    re-uploaded only when something was inserted.
+    inserts voxels ON DEVICE (reference: voxfusion.py:96-110 via the C++
+    octree; here ops.voxel_hash.insert_points_device — scatter-elected
+    hash insertion with shared-vertex allocation, no host loop).
   * Keyframes store full images in a device table (mapping samples fresh
     rays per iteration from each window frame, voxfusion.py:52-92).
   * Tracking/mapping loops are jitted lax.scan programs like the other
@@ -32,7 +32,7 @@ from ..engine.optimizers import GroupOptimizers
 from ..models.sparse_voxel import SparseVoxelConfig
 from ..ops import lie
 from ..ops.sampling import camera_ray_dirs, sample_pixels
-from ..ops.voxel_hash import VoxelHashMap
+from ..ops.voxel_hash import empty_device_maps, insert_marked, new_voxel_mask
 from .base import Algorithm, AlgorithmConfig
 
 
@@ -60,12 +60,10 @@ class VoxFusion(Algorithm):
         self._key = jax.random.PRNGKey(config.seed)
         self.model_params = self.model.init_params(self._next_key())
 
-        self.vox_map = VoxelHashMap(
+        self.maps = empty_device_maps(
             max_voxels=config.model.max_voxels,
             max_vertices=config.model.num_embeddings,
-            voxel_size=config.model.voxel_size,
         )
-        self.maps = self.vox_map.device_state()
 
         opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         self._opt_cfgs = opt_cfgs
@@ -79,7 +77,6 @@ class VoxFusion(Algorithm):
         self.kf_pose = jnp.zeros((config.max_keyframes, 6), jnp.float32)  # t(3)+axis-angle(3)
         self.kf_count = 0
         self._dirs = camera_ray_dirs(camera)
-        self._dirs_np = np.asarray(self._dirs)
         self.cur_mesh = None
         self._map_variants: Dict[int, Any] = {}
         self._build_jits()
@@ -134,6 +131,37 @@ class VoxFusion(Algorithm):
             return best[1], best[2], best[0]
 
         self._track_step = jax.jit(track_step)
+        self._track_fn = track_step
+
+        # --- on-device voxel insertion, dispatched as TWO chained jits:
+        # stage 1 (backproject + membership mask, image-sized gathers) and
+        # stage 2 (dedupe + hash insertion, scatters). Keeping them in one
+        # program makes the remote TPU compiler explode (120-400 s; each
+        # stage alone compiles in seconds) — see ops/voxel_hash.new_voxel_mask.
+        def mark_from_depth(maps, depth, t, r):
+            """reference: voxfusion.py:96-110 (back-project + octree insert)."""
+            Rm = lie.axis_angle_to_matrix(r)
+            pts = (self._dirs * depth[..., None]).reshape(-1, 3) @ Rm.T + t
+            valid = (depth > 0).reshape(-1)
+            return new_voxel_mask(maps, pts, valid, voxel_size=cfg.model.voxel_size)
+
+        def mark_predicted(maps, depth, t1, r1, t2, r2):
+            """Mark at the constant-velocity-predicted pose (fused path: the
+            tracked pose isn't on host; at 0.2 m voxels the mm-scale
+            difference never changes a voxel cell)."""
+            R1 = lie.axis_angle_to_matrix(r1)
+            R2 = lie.axis_angle_to_matrix(r2)
+            dR = R1 @ R2.T
+            tp = dR @ t1 + (t1 - dR @ t2)
+            rp = lie.matrix_to_axis_angle(dR @ R1)
+            return mark_from_depth(maps, depth, tp, rp)
+
+        self._mark_jit = jax.jit(mark_from_depth)
+        self._mark_pred_jit = jax.jit(mark_predicted)
+        self._insert2_jit = jax.jit(functools.partial(
+            insert_marked, voxel_size=cfg.model.voxel_size,
+            max_voxels=cfg.model.max_voxels,
+            max_vertices=cfg.model.num_embeddings, max_new=1024))
 
         def map_step(params, model_opt_state, maps, images, poses, n_valid,
                      key, *, n_frames, n_iters, optimize_pose):
@@ -189,6 +217,50 @@ class VoxFusion(Algorithm):
 
         self._map_step_raw = map_step
 
+        # -------- fused per-frame super-step (map_every=1): predict ->
+        # track -> on-device voxel insert -> map -> [kf insert], one device
+        # program and one pose fetch per frame (pipelined). ----------------
+        def predict_aa(t1, r1, t2, r2):
+            R1 = lie.axis_angle_to_matrix(r1)
+            R2 = lie.axis_angle_to_matrix(r2)
+            dR = R1 @ R2.T
+            dt = t1 - dR @ t2
+            return dR @ t1 + dt, lie.matrix_to_axis_angle(dR @ R1)
+
+        def fused_step(params, model_opt_state, maps, kf_images, kf_pose,
+                       rgb, depth, win_slots, n_valid, t1, r1, t2, r2, key,
+                       kf_slot, *, n_frames, n_iters, optimize_pose, do_kf):
+            # voxel insertion happens in the separately-dispatched
+            # insert_predicted program chained just before this one
+            k1, k2 = jax.random.split(key)
+            tp, rp = predict_aa(t1, r1, t2, r2)
+            bt, br, _ = track_step(params, maps, rgb, depth, tp, rp, k1)
+            cur_img = jnp.concatenate([rgb, depth[..., None]], -1)
+            cur_pose = jnp.concatenate([bt, br])
+            images = jnp.concatenate([kf_images[win_slots], cur_img[None]], 0)
+            poses = jnp.concatenate([kf_pose[win_slots], cur_pose[None]], 0)
+            is_cur = jnp.arange(n_frames) >= n_valid - 1
+            images = jnp.where(is_cur[:, None, None, None], cur_img[None], images)
+            poses = jnp.where(is_cur[:, None], cur_pose[None], poses)
+            new_params, new_opt_state, new_poses = map_step(
+                params, model_opt_state, maps, images, poses, n_valid, k2,
+                n_frames=n_frames, n_iters=n_iters, optimize_pose=optimize_pose)
+            if optimize_pose:
+                # write optimized keyframe poses back to the device store
+                # (rows >= n_valid-1 are the current frame / pads)
+                real = jnp.arange(n_frames - 1) < n_valid - 1
+                sl = jnp.where(real, win_slots, kf_pose.shape[0])
+                kf_pose = kf_pose.at[sl].set(new_poses[: n_frames - 1], mode="drop")
+            cur_new = new_poses[n_valid - 1]
+            if do_kf:
+                kf_images = kf_images.at[kf_slot].set(cur_img)
+                kf_pose = kf_pose.at[kf_slot].set(cur_new)
+            return (new_params, new_opt_state, kf_images, kf_pose,
+                    cur_new[None, :3], cur_new[None, 3:])
+
+        self._fused_raw = fused_step
+        self._fused_variants: Dict[Tuple, Any] = {}
+
         def render_chunk(params, maps, rays_o, rays_d, key):
             return model.render_rays(params, maps, key, rays_o, rays_d)
 
@@ -217,14 +289,11 @@ class VoxFusion(Algorithm):
 
     # ------------------------------------------------------------------
     def create_voxels(self, frame: Frame) -> None:
-        """Back-project depth, insert voxels (reference: voxfusion.py:96-110)."""
-        depth = frame.depth
-        valid = depth > 0
-        pts_cam = self._dirs_np[valid] * depth[valid][:, None]
-        c2w = frame.get_pose()
-        pts = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
-        if self.vox_map.insert_points(pts):
-            self.maps = self.vox_map.device_state()
+        """Back-project depth, insert voxels on device (reference:
+        voxfusion.py:96-110; two chained jitted programs, no host loop)."""
+        cc, new = self._mark_jit(
+            self.maps, frame.depth_jax(), jnp.asarray(frame.t), jnp.asarray(frame.r))
+        self.maps = self._insert2_jit(self.maps, cc, new)
 
     def dispatch_tracking(self, cur_frame: Frame):
         """Two-phase tracking (async dispatch; pipeline overlaps the next
@@ -287,6 +356,68 @@ class VoxFusion(Algorithm):
         if first:
             self.set_initialized()
 
+    # ------------------------------------------------------------------
+    # fused per-frame super-step (pipeline fast path, map_every=1)
+    # ------------------------------------------------------------------
+    def dispatch_superstep(self, frames: List[Frame], do_kf: bool,
+                           prev_c2w: np.ndarray = None, prev2_c2w: np.ndarray = None,
+                           prev_tr=None, prev2_tr=None):
+        from ..ops import lie_np
+
+        assert len(frames) == 1, "Vox-Fusion maps every frame (group size 1)"
+        cur = frames[0]
+        cfg = self.config
+        if prev_tr is not None:
+            t1, r1 = prev_tr
+            t2, r2 = prev2_tr
+        else:
+            t1, r1 = lie_np.matrix_to_pose_vec(np.asarray(prev_c2w, np.float32), rot_rep="axis_angle")
+            t2, r2 = lie_np.matrix_to_pose_vec(np.asarray(prev2_c2w, np.float32), rot_rep="axis_angle")
+            t1, r1, t2, r2 = map(jnp.asarray, (t1, r1, t2, r2))
+        # random window slots (keyframe_selection_method='random'; only
+        # kf_count is needed on host)
+        k = cfg.mapping_window_size - 1
+        if self.kf_count <= k:
+            slots = list(range(self.kf_count))
+        else:
+            rng = np.random.default_rng(int(self._next_key()[0]))
+            slots = sorted(int(s) for s in rng.permutation(self.kf_count - 1)[: k - 1]) + [self.kf_count - 1]
+        n_valid = len(slots) + 1
+        wn = cfg.mapping_window_size
+        win_slots = jnp.asarray(slots + [0] * (wn - 1 - len(slots)), jnp.int32)
+        optimize_pose = self.bundle_adjust and n_valid > 1
+        sig = (wn, cfg.mapping_n_iters, optimize_pose, do_kf)
+        if sig not in self._fused_variants:
+            self._fused_variants[sig] = jax.jit(functools.partial(
+                self._fused_raw, n_frames=wn, n_iters=cfg.mapping_n_iters,
+                optimize_pose=optimize_pose, do_kf=do_kf))
+        kf_slot = self.kf_count
+        if do_kf and kf_slot >= cfg.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
+        depth_dev = cur.depth_jax()
+        # chained async dispatches: mark -> insert (each compiled once) then
+        # the fused track+map program; no host sync anywhere
+        cc, new = self._mark_pred_jit(self.maps, depth_dev, t1, r1, t2, r2)
+        self.maps = self._insert2_jit(self.maps, cc, new)
+        out = self._fused_variants[sig](
+            self.model_params, self.model_opt_state, self.maps, self.kf_images,
+            self.kf_pose, cur.rgb_jax(), depth_dev, win_slots,
+            jnp.asarray(n_valid, jnp.int32), t1, r1, t2, r2, self._next_key(),
+            jnp.asarray(kf_slot, jnp.int32))
+        (new_sub, self.model_opt_state, self.kf_images,
+         self.kf_pose, pt, pr) = out
+        self.model_params.update(new_sub)
+        if do_kf:
+            self.kf_count += 1
+            self.keyframe_fids.append(cur.fid)
+        return (pt, pr)
+
+    def finish_superstep(self, handle) -> List[np.ndarray]:
+        from ..ops import lie_np
+
+        pt, pr = jax.device_get(handle)
+        return [lie_np.pose_vec_to_matrix(pt[0], pr[0], rot_rep="axis_angle")]
+
     def add_keyframe(self, keyframe: Frame) -> None:
         if self.kf_count >= self.config.max_keyframes:
             raise RuntimeError("keyframe capacity exceeded; raise max_keyframes")
@@ -325,9 +456,10 @@ class VoxFusion(Algorithm):
         tetrahedra (replaces per-voxel skimage MC, voxfusion.py:173-278)."""
         from ..common.mesher import Mesher, MesherConfig
 
-        if self.vox_map.n_voxels == 0:
+        n_vox = int(jax.device_get(self.maps["n_voxels"]))
+        if n_vox == 0:
             return None
-        coords = self.vox_map.vox_coords[: self.vox_map.n_voxels]
+        coords = np.asarray(self.maps["vox_coords"][:n_vox])
         vs = self.config.model.voxel_size
         lo = coords.min(0) * vs - vs
         hi = (coords.max(0) + 2) * vs

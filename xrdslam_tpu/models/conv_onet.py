@@ -360,6 +360,51 @@ class ConvOnet(Model):
             masks[name] = mask.reshape(*shape, 1).astype(np.float32)
         return masks
 
+    def frustum_grid_masks_dev(self, c2w: jnp.ndarray, depth: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Device (jit-traceable) twin of :meth:`frustum_grid_masks` so the
+        fused super-step can compute per-grid optimization masks in-program
+        (reference: utils.py:298-375 get_mask_from_c2w)."""
+        cam = self.camera
+        masks: Dict[str, jnp.ndarray] = {}
+        for name, shape in self.grid_shapes.items():
+            if name == "grid_coarse":
+                masks[name] = jnp.ones((*shape, 1), jnp.float32)
+                continue
+            xs = [jnp.linspace(self.bounding_box[i, 0], self.bounding_box[i, 1], shape[i]) for i in range(3)]
+            gx, gy, gz = jnp.meshgrid(*xs, indexing="ij")
+            pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+            from ..ops.lie import pose_inverse
+
+            w2c = pose_inverse(c2w)  # rigid inverse: exact in f32
+            pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            pc = pc.at[:, 0].multiply(-1.0)  # reference flips x before K (utils.py:336)
+            z = pc[:, 2:3] + 1e-5
+            u = cam.fx * pc[:, 0:1] / z + cam.cx
+            v = cam.fy * pc[:, 1:2] / z + cam.cy
+            uu = jnp.clip(u[:, 0], 0, cam.width - 1)
+            vv = jnp.clip(v[:, 0], 0, cam.height - 1)
+            x0 = jnp.clip(uu.astype(jnp.int32), 0, cam.width - 1)
+            y0 = jnp.clip(vv.astype(jnp.int32), 0, cam.height - 1)
+            x1 = jnp.minimum(x0 + 1, cam.width - 1)
+            y1 = jnp.minimum(y0 + 1, cam.height - 1)
+            fx_ = uu - x0
+            fy_ = vv - y0
+            d = (
+                depth[y0, x0] * (1 - fx_) * (1 - fy_)
+                + depth[y0, x1] * fx_ * (1 - fy_)
+                + depth[y1, x0] * (1 - fx_) * fy_
+                + depth[y1, x1] * fx_ * fy_
+            )
+            dmax = jnp.maximum(jnp.max(depth), 0.0)
+            d = jnp.where(d == 0, jnp.where(dmax > 0, dmax, 1e3), d)
+            mask = (u[:, 0] > 0) & (u[:, 0] < cam.width) & (v[:, 0] > 0) & (v[:, 0] < cam.height)
+            depth_along = -z[:, 0]
+            mask = mask & (depth_along >= 0) & (depth_along <= d + 0.5)
+            dist2 = jnp.sum((pts - c2w[:3, 3]) ** 2, -1)
+            mask = mask | (dist2 < 0.25)
+            masks[name] = mask.reshape(*shape, 1).astype(jnp.float32)
+        return masks
+
 
 def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median of x over mask=1 entries (jit-safe)."""

@@ -15,5 +15,13 @@ from jax.experimental import pallas as pl
 
 def pallas_call(*args, **kwargs):
     if "interpret" not in kwargs:
-        kwargs["interpret"] = jax.default_backend() not in ("tpu", "axon", "gpu")
+        interpret = jax.default_backend() not in ("tpu", "axon", "gpu")
+        if not interpret:
+            # the axon plugin registers a TPU backend even when tests pin
+            # jax_default_device to CPU — kernels would then lower for a
+            # device they never run on (hashgrid_fast.on_tpu has the same
+            # check)
+            dd = jax.config.jax_default_device
+            interpret = dd is not None and getattr(dd, "platform", "tpu") not in ("tpu", "gpu")
+        kwargs["interpret"] = interpret
     return pl.pallas_call(*args, **kwargs)

@@ -32,8 +32,12 @@ CORNERS = np.array([[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], 
 
 
 def _hash_np(coords: np.ndarray, cap: int) -> np.ndarray:
-    h = (coords[..., 0] * _P1) ^ (coords[..., 1] * _P2) ^ (coords[..., 2] * _P3)
-    return (h % cap + cap) % cap
+    """Host twin of the device hash (_hash_i32): int32-wraparound products,
+    so host-built tables and device lookups agree for ALL coords."""
+    c = coords.astype(np.int64)
+    h = (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+    h32 = ((h & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000  # sign-extend low 32
+    return (h32 % cap + cap) % cap
 
 
 class VoxelHashMap:
@@ -113,6 +117,14 @@ class VoxelHashMap:
 EMPTY_KEY = np.iinfo(np.int32).min
 
 
+def _hash_i32(kx, ky, kz, cap: int):
+    """int32-wraparound spatial hash -> slot in [0, cap). The SINGLE hash
+    definition shared by device insertion and lookup (device paths never
+    have int64 without x64, so int32 wrap is the pinned semantics)."""
+    h = ((kx * np.int32(_P1)) ^ (ky * np.int32(_P2)) ^ (kz * np.int32(_P3)))
+    return jax.lax.rem(jax.lax.rem(h, np.int32(cap)) + np.int32(cap), np.int32(cap))
+
+
 def hash_insert(
     keys_tbl: jnp.ndarray,
     vals_tbl: jnp.ndarray,
@@ -139,9 +151,7 @@ def hash_insert(
     """
     cap = keys_tbl.shape[0]
     c = cand.shape[0]
-    k64 = cand.astype(jnp.int64)
-    h = ((k64[:, 0] * _P1) ^ (k64[:, 1] * _P2) ^ (k64[:, 2] * _P3))
-    h = ((h % cap) + cap) % cap
+    h = _hash_i32(cand[:, 0], cand[:, 1], cand[:, 2], cap)
     arange = jnp.arange(c, dtype=jnp.int32)
     ids = jnp.full((c,), -1, jnp.int32)
     done = ~cand_valid
@@ -173,41 +183,55 @@ def hash_insert(
     return keys_tbl, vals_tbl, counter, ids
 
 
-def insert_points_device(
+def new_voxel_mask(
     maps: Dict[str, jnp.ndarray],
     pts: jnp.ndarray,
     valid: jnp.ndarray,
     *,
     voxel_size: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage 1 of device insertion: voxel coords + not-yet-allocated mask.
+
+    MUST live in its own jit: fusing this image-sized gather chain with the
+    insertion scatters makes the remote TPU compiler blow up (measured:
+    each piece compiles in 1-5 s, the fused program in 120-400 s). The
+    algorithm dispatches stage 1 and stage 2 back-to-back (async, no host
+    sync between them).
+    """
+    cc = jnp.floor(pts / voxel_size).astype(jnp.int32)
+    cc = jnp.where(valid[:, None], cc, EMPTY_KEY)
+    vidx = lookup_voxels(maps["hash_keys"], maps["hash_vals"], cc)
+    return cc, valid & (vidx < 0)
+
+
+def insert_marked(
+    maps: Dict[str, jnp.ndarray],
+    cc: jnp.ndarray,
+    new: jnp.ndarray,
+    *,
+    voxel_size: float,
     max_voxels: int,
     max_vertices: int,
-    max_new: int = 4096,
+    max_new: int = 1024,
 ) -> Dict[str, jnp.ndarray]:
-    """ON-DEVICE voxel allocation from back-projected points — replaces the
-    per-mapping-frame host insertion loop (reference: the CPU octree insert,
+    """Stage 2 of ON-DEVICE voxel allocation — replaces the per-mapping-
+    frame host insertion loop (reference: the CPU octree insert,
     slam/algorithms/voxfusion.py:96-110; round-2 host VoxelHashMap).
 
-    One jittable program: membership lookup for every point, winner-per-
-    slot pre-dedupe, compaction to ``max_new`` candidates, probe-staged
-    hash insertion (voxels), then shared-vertex embedding allocation for
-    the new voxels through a second (vertex) hash table. Coords dropped by
-    slot races or the ``max_new`` budget are simply re-attempted on the
-    next mapping frame (insertion is monotone).
+    Winner-per-home-slot pre-dedupe, compaction to ``max_new`` candidates,
+    probe-staged hash insertion (voxels), then shared-vertex embedding
+    allocation for the new voxels through a second (vertex) hash table.
+    Coords dropped by slot races or the ``max_new`` budget are simply
+    re-attempted on the next mapping frame (insertion is monotone).
 
     ``maps`` needs: hash_keys, hash_vals, vox_coords, vox_centers,
     vox_vertex_idx, n_voxels, vhash_keys, vhash_vals, n_vertices.
     """
     cap = maps["hash_keys"].shape[0]
-    n = pts.shape[0]
-    cc = jnp.floor(pts / voxel_size).astype(jnp.int32)
-    cc = jnp.where(valid[:, None], cc, EMPTY_KEY)
-    vidx = lookup_voxels(maps["hash_keys"], maps["hash_vals"], cc)
-    new = valid & (vidx < 0)
+    n = cc.shape[0]
     # winner-per-home-slot pre-dedupe: one candidate per distinct key
     # (distinct keys sharing a home slot lose a frame, not correctness)
-    c64 = cc.astype(jnp.int64)
-    h0 = ((c64[:, 0] * _P1) ^ (c64[:, 1] * _P2) ^ (c64[:, 2] * _P3))
-    h0 = (((h0 % cap) + cap) % cap).astype(jnp.int32)
+    h0 = _hash_i32(cc[:, 0], cc[:, 1], cc[:, 2], cap)
     ar = jnp.arange(n, dtype=jnp.int32)
     wt = jnp.full((cap,), n, jnp.int32).at[h0].min(jnp.where(new, ar, n))
     pre = new & (jnp.take(wt, h0) == ar)
@@ -229,12 +253,19 @@ def insert_points_device(
     corners = jnp.asarray(CORNERS, jnp.int32)  # [8, 3]
     vkeys = cand[:, None, :] + corners[None]  # [C, 8, 3]
     vkeys = jnp.where(newly[:, None, None], vkeys, EMPTY_KEY).reshape(-1, 3)
-    ei0 = lookup_voxels(maps["vhash_keys"], maps["vhash_vals"], vkeys)
-    vvalid = jnp.repeat(newly, 8) & (ei0 < 0)
-    vk, vv, n_vert, eins = hash_insert(
-        maps["vhash_keys"], maps["vhash_vals"], maps["n_vertices"],
-        jnp.where(vvalid[:, None], vkeys, EMPTY_KEY), vvalid, max_vertices)
-    ei = jnp.where(ei0 >= 0, ei0, jnp.maximum(eins, 0)).reshape(-1, 8)
+    vvalid_all = jnp.repeat(newly, 8)
+    # hash_insert compile time explodes past ~8192 candidates on the TPU
+    # backend (measured: 5 s at 8192, minutes at 32768+), so the vertex
+    # batch is processed in <=8192-candidate chunks (sequential, exact)
+    vk, vv, n_vert = maps["vhash_keys"], maps["vhash_vals"], maps["n_vertices"]
+    eins_parts = []
+    chunk = 8192
+    for s in range(0, vkeys.shape[0], chunk):
+        vk, vv, n_vert, e = hash_insert(
+            vk, vv, n_vert, vkeys[s:s + chunk], vvalid_all[s:s + chunk], max_vertices)
+        eins_parts.append(e)
+    eins = jnp.concatenate(eins_parts)
+    ei = jnp.maximum(eins, 0).reshape(-1, 8)
     vox_vertex_idx = maps["vox_vertex_idx"].at[tgt].set(ei, mode="drop")
 
     return {
@@ -248,6 +279,25 @@ def insert_points_device(
         "vhash_vals": vv,
         "n_vertices": n_vert,
     }
+
+
+def insert_points_device(
+    maps: Dict[str, jnp.ndarray],
+    pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    voxel_size: float,
+    max_voxels: int,
+    max_vertices: int,
+    max_new: int = 1024,
+) -> Dict[str, jnp.ndarray]:
+    """Single-call composition of :func:`new_voxel_mask` +
+    :func:`insert_marked` (tests / CPU; on the TPU backend prefer
+    dispatching the two stages as separate jits — see new_voxel_mask)."""
+    cc, new = new_voxel_mask(maps, pts, valid, voxel_size=voxel_size)
+    return insert_marked(maps, cc, new, voxel_size=voxel_size,
+                         max_voxels=max_voxels, max_vertices=max_vertices,
+                         max_new=max_new)
 
 
 def empty_device_maps(
@@ -274,9 +324,8 @@ def lookup_voxels(hash_keys: jnp.ndarray, hash_vals: jnp.ndarray, coords: jnp.nd
     load factor stays < 0.5 so 8 probes cover effectively all entries).
     """
     cap = hash_keys.shape[0]
-    c = coords.astype(jnp.int64)
-    h = ((c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3))
-    h = ((h % cap) + cap) % cap
+    c = coords.astype(jnp.int32)
+    h = _hash_i32(c[..., 0], c[..., 1], c[..., 2], cap)
     result = jnp.full(coords.shape[:-1], -1, jnp.int32)
     found = jnp.zeros(coords.shape[:-1], bool)
     for p in range(N_PROBES):

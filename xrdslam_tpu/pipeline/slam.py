@@ -169,6 +169,7 @@ class SLAMPipeline:
             and not (cfg_t.save_debug_result and cfg_t.render_freq > 0)
             and self.vis is None  # live viz needs per-frame results
             and cfg_m.keyframe_every % group == 0
+            and os.environ.get("XRDSLAM_DISABLE_SUPER", "0") != "1"  # A/B hatch
         )
         self._dev_pose_hist = []  # last two (t, r) DEVICE pose vectors
 
