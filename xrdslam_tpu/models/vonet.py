@@ -251,7 +251,11 @@ class VONet:
         }
         if config.pretrained_path:
             import os
-            if os.path.exists(str(config.pretrained_path)):
+            if str(config.pretrained_path).endswith(".npz") and os.path.exists(str(config.pretrained_path)):
+                # in-env trained checkpoint (engine/dpvo_train.save_params)
+                from ..engine.dpvo_train import load_params
+                self.params = load_params(str(config.pretrained_path))
+            elif os.path.exists(str(config.pretrained_path)):
                 from ..utils.torch_convert import load_dpvo_weights
                 self.params = load_dpvo_weights(str(config.pretrained_path))
             else:
