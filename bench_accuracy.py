@@ -36,7 +36,10 @@ from __future__ import annotations
 import argparse
 import copy
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -228,6 +231,24 @@ def run_algo(name: str, ds, render_freq: int, seed: int) -> dict:
     return result
 
 
+def _make_dataset(args):
+    from xrdslam_tpu.common.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n_frames=args.frames, height=args.height,
+                          width=args.width, scene="office")
+    if args.cache and os.path.exists(args.cache):
+        t0 = time.time()
+        ds.load_cache(args.cache)
+        print(f"[acc] loaded GT cache in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+    else:
+        t0 = time.time()
+        ds.prerender(batch=8, verbose=True)
+        print(f"[acc] rendered GT sequence in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+        if args.cache:
+            ds.save_cache(args.cache)
+    return ds
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algos", type=str, default=",".join(ALGOS))
@@ -239,33 +260,67 @@ def main() -> None:
     ap.add_argument("--render-freq", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="BENCH_ACCURACY.json")
+    ap.add_argument("--cache", type=str, default="",
+                    help="npz GT-frame cache path (created if missing)")
+    ap.add_argument("--single", type=str, default="",
+                    help="internal: run ONE algorithm in-process, write JSON to --out")
+    ap.add_argument("--render-only", action="store_true",
+                    help="internal: render the GT sequence into --cache and exit")
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-algorithm subprocess timeout (s)")
     args = ap.parse_args()
     if args.full:
         args.frames, args.height, args.width = 2000, 680, 1200
 
-    import jax
+    if args.render_only:
+        _make_dataset(args)
+        return
 
-    from xrdslam_tpu.common.synthetic import SyntheticDataset
+    if args.single:
+        # child mode: one algorithm, crash-isolated from the sweep
+        import jax
 
-    print(f"[acc] device {jax.devices()[0]}, {args.frames} frames "
-          f"{args.width}x{args.height}", file=sys.stderr)
-    ds = SyntheticDataset(n_frames=args.frames, height=args.height,
-                          width=args.width, scene="office")
-    t0 = time.time()
-    ds.prerender(batch=8, verbose=True)
-    print(f"[acc] rendered GT sequence in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+        print(f"[acc] device {jax.devices()[0]}, {args.frames} frames "
+              f"{args.width}x{args.height}", file=sys.stderr)
+        ds = _make_dataset(args)
+        res = run_algo(args.single, ds, args.render_freq, args.seed)
+        with open(args.out, "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
+        return
+
+    # parent: never imports jax (the TPU client must belong to exactly one
+    # process at a time). GT render runs in its own subprocess, then one
+    # subprocess per algorithm so a TPU-worker crash or OOM in one
+    # algorithm cannot take down the sweep.
+    cache = args.cache or os.path.join(
+        tempfile.gettempdir(), f"acc_cache_{args.frames}_{args.width}x{args.height}.npz")
+    if not os.path.exists(cache):
+        subprocess.run([sys.executable, os.path.abspath(__file__), "--render-only",
+                        "--frames", str(args.frames), "--height", str(args.height),
+                        "--width", str(args.width), "--cache", cache], check=True)
 
     results = []
     for name in args.algos.split(","):
         name = name.strip()
         print(f"[acc] === {name} ===", file=sys.stderr, flush=True)
+        out_json = os.path.join(tempfile.gettempdir(), f"acc_{name}_{os.getpid()}.json")
+        cmd = [sys.executable, os.path.abspath(__file__), "--single", name,
+               "--frames", str(args.frames), "--height", str(args.height),
+               "--width", str(args.width), "--render-freq", str(args.render_freq),
+               "--seed", str(args.seed), "--cache", cache, "--out", out_json]
         try:
-            res = run_algo(name, ds, args.render_freq, args.seed)
-        except Exception as e:  # keep the sweep alive; report the failure
-            import traceback
-
-            traceback.print_exc()
-            res = {"algorithm": name, "error": str(e), "all_pass": False}
+            proc = subprocess.run(cmd, timeout=args.timeout)
+            if os.path.exists(out_json):
+                with open(out_json) as f:
+                    res = json.load(f)
+                os.remove(out_json)
+            else:
+                res = {"algorithm": name, "all_pass": False,
+                       "error": f"subprocess exited {proc.returncode} without a result"}
+        except subprocess.TimeoutExpired:
+            res = {"algorithm": name, "error": f"timeout after {args.timeout}s",
+                   "all_pass": False}
         print(f"[acc] {name}: {json.dumps(res)}", file=sys.stderr, flush=True)
         results.append(res)
 

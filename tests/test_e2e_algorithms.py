@@ -96,7 +96,11 @@ def test_nice_slam_fused_pipeline():
     from xrdslam_tpu.engine.schedulers import LRconfig, NiceSLAMSchedulerConfig as NS
     from xrdslam_tpu.models.conv_onet import ConvOnetConfig
 
-    bound = [[-1.5, 1.5], [-1.5, 1.5], [-1.5, 1.5]]
+    # MUST enclose the scene (ROOM_HALF=2.0) with margin: the NICE-SLAM
+    # ray prefilter drops rays whose bound-exit precedes their depth, so a
+    # bound tighter than the walls silently kills EVERY ray (found as the
+    # round-3 60-frame ATE-90cm inert-tracking bug).
+    bound = [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]]
     cfg = SLAMPipelineConfig(
         tracker=TrackerConfig(map_every=2, render_freq=-1, save_re_render_result=False),
         mapper=MapperConfig(keyframe_every=2),

@@ -340,6 +340,26 @@ class SyntheticDataset:
                       f"{self.n_img} frames ({_t.time()-t0:.0f}s)",
                       file=sys.stderr, flush=True)
 
+    def save_cache(self, path: str) -> None:
+        """Persist the pre-rendered frame cache so per-algorithm subprocess
+        runs (bench_accuracy.py isolation) skip the 20-minute re-render.
+        rgb stored as uint8, depth as uint16 @0.1 mm (lossy but far below
+        any gate's resolution)."""
+        idxs = sorted(self._cache)
+        rgb = np.stack([self._cache[i][0] for i in idxs])
+        depth = np.stack([self._cache[i][1] for i in idxs])
+        np.savez(path, idxs=np.asarray(idxs, np.int64),
+                 rgb=np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8),
+                 depth=(depth * 10000.0 + 0.5).astype(np.uint16))
+
+    def load_cache(self, path: str) -> None:
+        d = np.load(path)
+        for j, i in enumerate(d["idxs"]):
+            self._cache[int(i)] = (
+                d["rgb"][j].astype(np.float32) / 255.0,
+                d["depth"][j].astype(np.float32) / 10000.0,
+            )
+
     def __getitem__(self, index: int):
         if index not in self._cache:
             self._cache[index] = self.render_frame(index)

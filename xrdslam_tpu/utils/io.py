@@ -23,6 +23,21 @@ class Mesh:
     def export(self, path: str) -> None:
         write_ply(path, self.vertices, self.faces, self.vertex_colors)
 
+    # trimesh-compatible subset used by the eval pipeline
+    def copy(self) -> "Mesh":
+        return Mesh(
+            vertices=self.vertices.copy(),
+            faces=self.faces.copy(),
+            vertex_colors=None if self.vertex_colors is None else self.vertex_colors.copy(),
+        )
+
+    def apply_transform(self, T: np.ndarray) -> "Mesh":
+        """Rigid/affine transform of the vertices in place (trimesh API)."""
+        T = np.asarray(T, np.float64)
+        v = np.asarray(self.vertices, np.float64)
+        self.vertices = (v @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        return self
+
 
 def write_ply(path: str, vertices: np.ndarray, faces: np.ndarray, colors: Optional[np.ndarray] = None) -> None:
     v = np.asarray(vertices, np.float32)
