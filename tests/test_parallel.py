@@ -90,3 +90,102 @@ def test_sharded_arrays_actually_sharded():
     fr = Frame(fid=0, rgb=rgb, depth=depth, init_pose=c2w, gt_pose=c2w)
     algo.do_mapping(fr)  # must compile + run under the mesh without error
     assert np.isfinite(np.asarray(algo.model_params["decoder"]["sdf"]["w"][0])).all()
+
+
+# ---------------------------------------------------------------------------
+# NICE-SLAM / Point-SLAM ray-DP parity (round-3: devices hoisted to the
+# Algorithm base; rays shard P('dp'), params replicate — SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+def _mk_nice(devices: int):
+    from xrdslam_tpu.algorithms.nice_slam import NiceSLAMConfig
+    from xrdslam_tpu.engine.schedulers import LRconfig, NiceSLAMSchedulerConfig as NS
+    from xrdslam_tpu.models.conv_onet import ConvOnetConfig
+
+    ds = SyntheticDataset(n_frames=6, height=48, width=64)
+    bound = [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]]
+    cfg = NiceSLAMConfig(
+        coarse=True, rot_rep="quat", tracking_n_iters=4, mapping_n_iters=8,
+        mapping_first_n_iters=16, mapping_window_size=3,
+        tracking_sample=64, mapping_sample=192, min_sample_pixels=16,
+        ray_batch_size=512, tracking_Wedge=4, tracking_Hedge=4,
+        mapping_bound=bound, marching_cubes_bound=bound,
+        mapping_color_refine=False, max_keyframes=8,
+        mesher=MesherConfig(resolution=16),
+        model=ConvOnetConfig(grid_len_middle=0.32, grid_len_fine=0.16,
+                             grid_len_color=0.16, rendering_n_samples=16,
+                             rendering_n_surface=8),
+        optimizers={
+            "decoder": {"optimizer": AdamOptimizerConfig(), "scheduler": NS(stage_lr=LRconfig(color=0.005))},
+            "grid_coarse": {"optimizer": AdamOptimizerConfig(), "scheduler": NS(stage_lr=LRconfig(coarse=0.001))},
+            "grid_middle": {"optimizer": AdamOptimizerConfig(), "scheduler": NS(stage_lr=LRconfig(middle=0.1, fine=0.005, color=0.005))},
+            "grid_fine": {"optimizer": AdamOptimizerConfig(), "scheduler": NS(stage_lr=LRconfig(fine=0.005, color=0.005))},
+            "grid_color": {"optimizer": AdamOptimizerConfig(), "scheduler": NS(stage_lr=LRconfig(color=0.005))},
+            "tracking_pose": {"optimizer": AdamOptimizerConfig(lr=1e-3), "scheduler": None},
+            "mapping_pose": {"optimizer": AdamOptimizerConfig(lr=1e-3), "scheduler": None},
+        },
+        seed=7, devices=devices,
+    )
+    return cfg.setup(camera=ds.get_camera()), ds
+
+
+def _mk_point(devices: int):
+    from xrdslam_tpu.algorithms.point_slam import PointSLAMConfig
+    from xrdslam_tpu.engine.schedulers import PointSLAMSchedulerConfig as S
+    from xrdslam_tpu.models.conv_onet_pointslam import ConvOnet2Config
+
+    ds = SyntheticDataset(n_frames=6, height=48, width=64)
+    cfg = PointSLAMConfig(
+        rot_rep="quat", tracking_n_iters=4, mapping_n_iters=8,
+        mapping_first_n_iters=12, mapping_window_size=3,
+        tracking_sample=64, mapping_sample=192, min_sample_pixels=16,
+        ray_batch_size=512, tracking_Wedge=4, tracking_Hedge=4,
+        pixels_adding=400, max_keyframes=8, mesh_resolution=16,
+        model=ConvOnet2Config(max_points=4096),
+        optimizers={
+            "decoder": {"optimizer": AdamOptimizerConfig(), "scheduler": S(start_lr=0.001, end_lr=0.005)},
+            "geometry": {"optimizer": AdamOptimizerConfig(), "scheduler": S(start_lr=0.03, end_lr=0.005)},
+            "color": {"optimizer": AdamOptimizerConfig(), "scheduler": S(start_lr=0.0, end_lr=0.005)},
+            "tracking_pose": {"optimizer": AdamOptimizerConfig(lr=2e-3), "scheduler": None},
+            "mapping_pose": {"optimizer": AdamOptimizerConfig(lr=1e-3), "scheduler": None},
+        },
+        seed=7, devices=devices,
+    )
+    return cfg.setup(camera=ds.get_camera()), ds
+
+
+def _run_map_track(mk, devices: int, leaf_fn):
+    algo, ds = mk(devices)
+    _, rgb, depth, c2w = ds[0]
+    f0 = Frame(fid=0, rgb=rgb, depth=depth, init_pose=c2w, gt_pose=c2w, rot_rep="quat")
+    algo.do_mapping(f0)
+    algo.add_keyframe(f0)
+    algo.estimate_c2w_list = [f0.get_pose()]
+    _, rgb1, depth1, c2w1 = ds[1]
+    f1 = Frame(fid=1, rgb=rgb1, depth=depth1, init_pose=c2w, gt_pose=c2w1, rot_rep="quat")
+    c1 = algo.do_tracking(f1)
+    algo.do_mapping(f1)
+    return np.asarray(c1), leaf_fn(algo)
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8-device mesh")
+def test_nice_slam_ray_dp_parity():
+    leaf = lambda a: np.asarray(a.model_params["grid_middle"])
+    c1_a, leaf_a = _run_map_track(_mk_nice, 1, leaf)
+    c1_b, leaf_b = _run_map_track(_mk_nice, 8, leaf)
+    np.testing.assert_allclose(c1_a, c1_b, atol=5e-4)
+    scale = np.abs(leaf_a).max() + 1e-9
+    np.testing.assert_allclose(leaf_a / scale, leaf_b / scale, atol=2e-3)
+    # the dp run really had a mesh
+    algo8, _ = _mk_nice(8)
+    assert algo8.mesh is not None and algo8.mesh.devices.size == 8
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8-device mesh")
+def test_point_slam_ray_dp_parity():
+    leaf = lambda a: np.asarray(a.model_params["geometry"]["feats"][:256])
+    c1_a, leaf_a = _run_map_track(_mk_point, 1, leaf)
+    c1_b, leaf_b = _run_map_track(_mk_point, 8, leaf)
+    np.testing.assert_allclose(c1_a, c1_b, atol=5e-4)
+    scale = np.abs(leaf_a).max() + 1e-9
+    np.testing.assert_allclose(leaf_a / scale, leaf_b / scale, atol=2e-3)

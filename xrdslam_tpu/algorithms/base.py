@@ -48,6 +48,12 @@ class AlgorithmConfig(InstantiateConfig):
     rot_rep: str = "axis_angle"
     retain_graph: bool = False
     optimizers: Dict[str, Any] = field(default_factory=default_optimizers)
+    # >1: shard per-iteration ray batches data-parallel over a `dp` mesh
+    # of this many devices (parallel/sharded.py); map parameters
+    # replicate, gradients all-reduce over ICI. Multi-chip has no
+    # reference counterpart (SURVEY.md §2.8: DataParallel pinned to one
+    # GPU) — rays are the TPU-native scaling axis.
+    devices: int = 1
 
 
 class Algorithm:
@@ -61,6 +67,42 @@ class Algorithm:
         self.estimate_c2w_list: List[np.ndarray] = []
         self.keyframe_fids: List[int] = []
         self.bundle_adjust = False
+        # dp device mesh (None below 2 devices); concrete algorithms call
+        # _replicate_params on their map parameters and _shard_rays on
+        # per-ray arrays inside their jitted programs
+        self.mesh = None
+        if getattr(config, "devices", 1) > 1:
+            from ..parallel.sharded import make_mesh
+
+            self.mesh = make_mesh(config.devices)
+
+    # -- multi-chip ray-DP helpers (parallel/sharded.py) ------------------
+    def _replicate_params(self, tree):
+        """Replicate a parameter pytree over the mesh (no-op single-chip)."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.sharded import replicate
+
+        return replicate(self.mesh, tree)
+
+    def _shard_rays(self, *arrays):
+        """Constrain per-ray arrays to P('dp') when a device mesh is
+        configured — downstream per-ray compute shards data-parallel and
+        XLA all-reduces parameter gradients (parallel/sharded.py)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P("dp"))
+        out = tuple(jax.lax.with_sharding_constraint(a, s) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+    def _round_to_devices(self, n: int) -> int:
+        """Round a ray count up to a multiple of the mesh size (sharded
+        dims must divide evenly across 'dp')."""
+        d = getattr(self.config, "devices", 1)
+        return n if d <= 1 else ((n + d - 1) // d) * d
 
     # -- host bookkeeping (reference: base_algorithm.py:106-158) ----------
     def add_framepose(self, c2w: np.ndarray, gt_c2w: np.ndarray, gt_c2w_ori: np.ndarray) -> None:

@@ -60,10 +60,6 @@ class CoSLAMConfig(AlgorithmConfig):
     mapping_bound: List[List[float]] = field(default_factory=lambda: [[-3.5, 3], [-3, 3], [-3, 3]])
     max_keyframes: int = 512  # static capacity of the keyframe ray table
     seed: int = 0
-    # >1: shard ray batches data-parallel over a `dp` mesh of this many
-    # devices (parallel/sharded.py); parameters replicate, gradients
-    # all-reduce over ICI. Ray counts must divide by `devices`.
-    devices: int = 1
 
 
 class CoSLAM(Algorithm):
@@ -81,18 +77,8 @@ class CoSLAM(Algorithm):
         self.num_rays_to_save = int(camera.width * camera.height * config.rays_to_save_ratio)
         self.max_kf = config.max_keyframes
 
-        self.mesh = None
-        if config.devices > 1:
-            from ..parallel.sharded import make_mesh
-
-            self.mesh = make_mesh(config.devices)
-
         self._key = jax.random.PRNGKey(config.seed)
-        self.model_params = self.model.init_params(self._next_key())
-        if self.mesh is not None:
-            from ..parallel.sharded import replicate
-
-            self.model_params = replicate(self.mesh, self.model_params)
+        self.model_params = self._replicate_params(self.model.init_params(self._next_key()))
 
         opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         self._model_groups = [g for g in ("embed_fn", "embed_fn_color", "decoder") if g in self.model_params]
@@ -118,18 +104,6 @@ class CoSLAM(Algorithm):
     # ------------------------------------------------------------------
     # jitted device programs
     # ------------------------------------------------------------------
-    def _shard_rays(self, *arrays):
-        """Constrain per-ray arrays to P('dp') when a device mesh is
-        configured — downstream per-ray compute shards data-parallel and
-        XLA all-reduces parameter gradients (parallel/sharded.py)."""
-        if self.mesh is None:
-            return arrays if len(arrays) > 1 else arrays[0]
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        s = NamedSharding(self.mesh, P("dp"))
-        out = tuple(jax.lax.with_sharding_constraint(a, s) for a in arrays)
-        return out if len(out) > 1 else out[0]
-
     def _build_jits(self) -> None:
         cfg = self.config
         model = self.model

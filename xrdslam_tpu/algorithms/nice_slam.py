@@ -80,7 +80,7 @@ class NiceSLAM(Algorithm):
             camera=camera, bounding_box=self.model.bounding_box, marching_cubes_bound=self.marching_cube_bound
         )
         self._key = jax.random.PRNGKey(config.seed)
-        self.model_params = self.model.init_params(self._next_key())
+        self.model_params = self._replicate_params(self.model.init_params(self._next_key()))
 
         self.max_kf = config.max_keyframes
         H, W = camera.height, camera.width
@@ -167,7 +167,9 @@ class NiceSLAM(Algorithm):
                 ros.append(jnp.broadcast_to(poses[fi, :3], (pixs, 3)))
                 tss.append(rgbd[:, :3])
                 tds.append(rgbd[:, 3:4])
-            return (jnp.concatenate(ros), jnp.concatenate(rds), jnp.concatenate(tss), jnp.concatenate(tds))
+            return self._shard_rays(
+                jnp.concatenate(ros), jnp.concatenate(rds),
+                jnp.concatenate(tss), jnp.concatenate(tds))
 
         # ---------------- tracking -------------------------------------
         def track_step(params, rgb, depth, pose0, key):
@@ -178,8 +180,9 @@ class NiceSLAM(Algorithm):
             def body(carry, k):
                 pvars, opt_state, best = carry
                 k1, k2 = jax.random.split(k)
-                u, v = sample_pixels(k1, cfg.tracking_sample, H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
-                ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
+                u, v = sample_pixels(k1, self._round_to_devices(cfg.tracking_sample),
+                                     H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
+                ui, vi = self._shard_rays(u.astype(jnp.int32), v.astype(jnp.int32))
                 td = depth[vi, ui][:, None]
                 ts = rgb[vi, ui]
                 d_cam = self._dirs[vi, ui]
@@ -211,7 +214,8 @@ class NiceSLAM(Algorithm):
         grid_names = [g for g in model.grid_shapes]
 
         def map_step(params, images, poses, masks, n_valid, key, *, n_frames, n_iters, lr_factor, optimize_pose, coarse):
-            pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
+            pixs = self._round_to_devices(
+                max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels))
             all_params: Dict[str, Any] = {g: params[g] for g in grid_names if (g == "grid_coarse") == coarse}
             if not coarse and model.trainable_decoders:
                 all_params["decoder"] = params["decoder"]

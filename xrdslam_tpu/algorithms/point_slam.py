@@ -79,11 +79,11 @@ class PointSLAM(Algorithm):
         super().__init__(config, camera)
         self.model = config.model.setup(camera=camera, bounding_box=None)
         self._key = jax.random.PRNGKey(config.seed)
-        self.model_params = self.model.init_params(self._next_key())
+        self.model_params = self._replicate_params(self.model.init_params(self._next_key()))
         self.point_map = PointMap(
             max_points=config.model.max_points, cell_size=2.0 * self.model._max_query_radius()
         )
-        self.maps = self.point_map.device_state()
+        self.maps = self._replicate_params(self.point_map.device_state())
         self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         self._scheds = {name: g.get("scheduler") for name, g in config.optimizers.items()}
         H, W = camera.height, camera.width
@@ -162,8 +162,9 @@ class PointSLAM(Algorithm):
             def body(carry, k):
                 pv, opt_state, best = carry
                 k1, k2 = jax.random.split(k)
-                u, v = sample_pixels(k1, cfg.tracking_sample, H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
-                ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
+                u, v = sample_pixels(k1, self._round_to_devices(cfg.tracking_sample),
+                                     H, W, cfg.tracking_Hedge, cfg.tracking_Wedge)
+                ui, vi = self._shard_rays(u.astype(jnp.int32), v.astype(jnp.int32))
                 px = rgbdr[vi, ui]
                 td = px[:, 3:4]
                 ts = px[:, :3]
@@ -198,7 +199,11 @@ class PointSLAM(Algorithm):
             # the n_valid real frames and pins slot W-1 to the CURRENT
             # frame (the color-grad extra pixels land on it) -> one
             # compiled program for every window length
-            pixs = max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels)
+            # pixs rounded so the concatenated ray batch (n_frames*pixs +
+            # n_grad) stays divisible by the dp mesh; n_grad is a config
+            # constant the user must pick divisible when devices>1
+            pixs = self._round_to_devices(
+                max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels))
             geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
             phases = [("geometry", geo_iters), ("color", n_iters - geo_iters)]
             groups_all = [g for g in ("decoder", "geometry", "color") if g in params and (g != "decoder" or params["decoder"])]
@@ -241,11 +246,12 @@ class PointSLAM(Algorithm):
                             tss.append(rgbd[:, :3])
                             tds.append(rgbd[:, 3:4])
                             rqs.append(rgbd[:, 4])
+                        ro, rd, ts_, td_, rq_ = self._shard_rays(
+                            jnp.concatenate(ros), jnp.concatenate(rds),
+                            jnp.concatenate(tss), jnp.concatenate(tds),
+                            jnp.concatenate(rqs))
                         loss, _ = model.get_loss(
-                            mp, maps, k2, jnp.concatenate(ros), jnp.concatenate(rds),
-                            jnp.concatenate(tss), jnp.concatenate(tds), True, stage,
-                            r_query=jnp.concatenate(rqs),
-                        )
+                            mp, maps, k2, ro, rd, ts_, td_, True, stage, r_query=rq_)
                         return loss
 
                     loss, g = jax.value_and_grad(loss_fn)(ap)
@@ -359,7 +365,7 @@ class PointSLAM(Algorithm):
         zs = z[need][:, None] + spread * np.array([-1.0, 0.0, 1.0])[None, :]
         pts = (c2w[:3, 3][None, None] + dirs_w[need][:, None, :] * zs[..., None]).reshape(-1, 3)
         if self.point_map.add_points(pts):
-            self.maps = self.point_map.device_state()
+            self.maps = self._replicate_params(self.point_map.device_state())
 
     def _top_grad_pixels(self, rgb: np.ndarray, n: int):
         """Top-n color-gradient pixels (u, v) (point_slam.py:124-138)."""
