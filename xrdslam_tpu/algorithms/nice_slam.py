@@ -124,9 +124,17 @@ class NiceSLAM(Algorithm):
             base = self.config.optimizers["decoder"]["optimizer"].copy()
             base.lr = self._stage_lr("decoder", stage, lr_factor)
             # without pretrained decoders the occupancy nets must actually
-            # train in their own stages, not only in the color stage
-            if not self.model.pretrained_available and base.lr == 0.0:
-                base.lr = self._stage_lr("grid_middle", stage, lr_factor) * 0.1
+            # train in their own stages, not only in the color stage — but at
+            # MLP-safe step size: the reference's decoder color lr (0.005),
+            # NOT grid lr x first-frame factor (0.5), which blows the 5-block
+            # MLP to inf within a few Adam steps (round-3 NaN diagnosis).
+            if not self.model.pretrained_available:
+                if base.lr == 0.0:
+                    base.lr = self._stage_lr("decoder", "color", 1.0)
+                # clip in EVERY stage, not just lr==0 ones: the opt state is
+                # shared across the middle/fine/color phases of one map call,
+                # and optax.chain length must match it in all of them
+                base.max_norm = base.max_norm or 10.0
             groups["decoder"] = base
         if optimize_pose and not coarse:
             base = self.config.optimizers["mapping_pose"]["optimizer"].copy()

@@ -68,6 +68,19 @@ class ConvOnetConfig(ModelConfig):
     mapping_fix_fine: bool = True
     mapping_fix_color: bool = False
     mapping_frustum_feature_selection: bool = True
+    # In-env fallback when the reference's pretrained ConvONet decoders
+    # (conv_onet.py:293-322 load_pretrain) are unavailable: explicit
+    # near-surface occupancy supervision for mapping. The reference's
+    # render-only depth L1 relies on the pretrained decoder prior to avoid a
+    # degenerate minimum (carve ALL occupancy so rays terminate on the
+    # out-of-bound occ=100 wall just behind the true surface; sigmoid(10*occ)
+    # then saturates and gradients die). Logits-BCE free-space/occupied
+    # targets within +-geo_trunc of the measured depth hold a wall at the
+    # surface and keep gradients alive even from the saturated-wrong regime.
+    # Applied only when pretrained decoders failed to load ("auto").
+    fallback_geo_supervision: str = "auto"  # "auto" | "on" | "off"
+    geo_trunc: float = 0.10
+    geo_w: float = 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +206,10 @@ class ConvOnet(Model):
             if c.coarse:
                 self.trainable_decoders.append("coarse")
         self.trainable_decoders = list(dict.fromkeys(self.trainable_decoders))
+        self.geo_supervision = (
+            c.fallback_geo_supervision == "on"
+            or (c.fallback_geo_supervision == "auto" and not self.pretrained_available)
+        )
 
     def init_params(self, key: jax.Array) -> Dict[str, Any]:
         c = self.config
@@ -283,7 +300,8 @@ class ConvOnet(Model):
         depth, depth_var, rgb, weights = rendering.raw2outputs_occupancy(
             raw, z_vals, rays_d, occupancy=self.config.occupancy
         )
-        return {"rgb": rgb, "depth": depth, "uncertainty": depth_var, "z_vals": z_vals, "weights": weights}
+        return {"rgb": rgb, "depth": depth, "uncertainty": depth_var, "z_vals": z_vals,
+                "weights": weights, "occ_raw": raw[..., 3]}
 
     # ------------------------------------------------------------------
     def get_loss(
@@ -314,6 +332,26 @@ class ConvOnet(Model):
             loss_dict["depth_loss"] = jnp.sum(jnp.abs(td - depth) * dmask)
             if stage == "color":
                 loss_dict["rgb_loss"] = c.mapping_w_color_loss * jnp.sum(jnp.abs(target_s - rgb) * rm[:, None])
+            if self.geo_supervision:
+                # see ConvOnetConfig.fallback_geo_supervision: free-space /
+                # occupied logits-BCE in a +-geo_trunc band around measured
+                # depth, normalized per supervised sample and scaled to the
+                # ray count so it is commensurate with the depth L1 sum.
+                occ_raw = out["occ_raw"]
+                z = out["z_vals"]
+                # clip keeps inf out of the inf*0 -> NaN path below; at
+                # |logit| 1e4 the BCE gradient is a constant +-1 anyway
+                x = jnp.clip(10.0 * occ_raw, -1e4, 1e4)
+                tdz = td[:, None]
+                free = (z < tdz - c.geo_trunc) & (tdz > 0)
+                band = jnp.abs(z - tdz) <= c.geo_trunc
+                sup = ((free | (band & (tdz > 0))).astype(depth.dtype)
+                       * dmask[:, None])
+                target = (z > tdz).astype(depth.dtype)
+                bce = (jnp.maximum(x, 0.0) - x * target
+                       + jnp.log1p(jnp.exp(-jnp.abs(x))))
+                mean_bce = jnp.sum(bce * sup) / jnp.maximum(jnp.sum(sup), 1.0)
+                loss_dict["geo_loss"] = c.geo_w * mean_bce * jnp.sum(dmask)
         return sum(loss_dict.values()), loss_dict
 
     # ------------------------------------------------------------------

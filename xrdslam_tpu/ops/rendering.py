@@ -76,17 +76,24 @@ def raw2outputs_occupancy(
     Returns (depth [N], depth_var [N], rgb [N,3], weights [N,S]).
     """
     if occupancy:
-        alpha = _sig(coef * raw[..., 3])
+        u = coef * raw[..., 3]
+        alpha = _sig(u)
+        # log(1 - sigmoid(u)) == -softplus(u) exactly: bounded backward
+        # (-sigmoid(u)) even where alpha saturates to 1.0 in fp32, where the
+        # generic log(1-alpha+eps) backward (1/eps = 1e10) overflowed inside
+        # XLA's fused VJP and NaN'd the mapping step (round-3 diagnosis).
+        log_t = -jax.nn.softplus(u)
     else:
         dists = z_vals[..., 1:] - z_vals[..., :-1]
         dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], -1)
         if rays_d is not None:
             dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         alpha = 1.0 - jnp.exp(-jnp.maximum(raw[..., 3], 0.0) * dists)
-    # Transmittance in log space: cumprod's backward divides by the cumulative
-    # product, which NaNs once it underflows to 0 (saturated alpha=1 rays);
-    # exp(cumsum(log)) is mathematically identical and gradient-safe.
-    log_t = jnp.log(1.0 - alpha + 1e-10)
+        # Transmittance in log space: cumprod's backward divides by the
+        # cumulative product, which NaNs once it underflows to 0 (saturated
+        # alpha=1 rays); exp(cumsum(log)) is mathematically identical and
+        # gradient-safe.
+        log_t = jnp.log(1.0 - alpha + 1e-10)
     zeros = jnp.zeros_like(log_t[..., :1])
     transmittance = jnp.exp(jnp.concatenate([zeros, jnp.cumsum(log_t, -1)[..., :-1]], -1))
     weights = alpha * transmittance
