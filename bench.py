@@ -35,7 +35,7 @@ PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 (fp32 peak is half this)
 PEAK_HBM_BYTES = 819e9  # TPU v5e HBM bandwidth
 
 
-def build_pipeline(encoding: str, ds, out_dir: str):
+def build_pipeline(encoding: str, ds, out_dir: str, seed: int = 0):
     from xrdslam_tpu.algorithms.coslam import CoSLAMConfig
     from xrdslam_tpu.common.mesher import MesherConfig
     from xrdslam_tpu.engine.optimizers import AdamOptimizerConfig
@@ -68,6 +68,7 @@ def build_pipeline(encoding: str, ds, out_dir: str):
             mapping_bound=bound,
             marching_cubes_bound=bound,
             max_keyframes=max(N_FRAMES // 5 + 2, 8),
+            seed=seed,
             mesher=MesherConfig(resolution=128),
             model=JointEncodingConfig(
                 encoding=encoding,
@@ -113,13 +114,13 @@ def superstep_flops(pipeline) -> float:
         return 0.0, 0.0
 
 
-def run_one(encoding: str, ds) -> dict:
+def run_one(encoding: str, ds, seed: int = 0) -> dict:
     import tempfile
 
     from xrdslam_tpu.utils.eval_ate import evaluate_ate
 
     out_dir = tempfile.mkdtemp(prefix=f"bench_coslam_{encoding}_")
-    pipeline = build_pipeline(encoding, ds, out_dir)
+    pipeline = build_pipeline(encoding, ds, out_dir, seed=seed)
     t_start = time.time()
     pipeline.run()
     total = time.time() - t_start
@@ -161,6 +162,25 @@ def main() -> None:
              "mfu_vs_bf16_peak": res["mfu_vs_bf16_peak"],
              "hbm_bw_util": res["hbm_bw_util"],
              "total_wall_s": res["total_s"]}
+    # noise band: repeat the headline at extra seeds (compile cache is warm
+    # after the first run, so each repeat is ~device time) and report the
+    # spread — the chip-noise band was 10.5-14.3 fps in round 2 and a
+    # single-run number can't distinguish regression from noise.
+    n_seeds = int(os.environ.get("XRDSLAM_BENCH_SEEDS", "3"))
+    fps_runs, ate_runs = [res["fps"]], [res["ate_cm"]]
+    for s in range(1, n_seeds):
+        r = run_one(headline, ds, seed=s)
+        fps_runs.append(r["fps"])
+        ate_runs.append(r["ate_cm"])
+        print(f"[bench] {headline} seed {s}: {r['fps']} fps, ATE {r['ate_cm']} cm",
+              file=sys.stderr)
+    if len(fps_runs) > 1:
+        extra["fps_runs"] = fps_runs
+        extra["ate_runs"] = ate_runs
+        extra["fps_std"] = round(float(np.std(fps_runs)), 3)
+        extra["ate_std"] = round(float(np.std(ate_runs)), 3)
+        extra["fps_mean"] = round(float(np.mean(fps_runs)), 3)
+        extra["ate_mean"] = round(float(np.mean(ate_runs)), 3)
     # the hash parity path adds ~280 s (compile included; the r2 fused
     # programs cut its former ~8 min compile) — emitted by default so both
     # encodings are visible to the driver; XRDSLAM_BENCH_BOTH=0 skips it.

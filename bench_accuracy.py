@@ -249,6 +249,29 @@ def _make_dataset(args):
     return ds
 
 
+def _wait_device_ready(max_wait_s: int = 600) -> None:
+    """Block until the accelerator accepts work again. A kernel fault in one
+    algorithm's subprocess kills the TPU worker; it restarts after a while,
+    but subprocesses launched in the gap die at client init (observed: the
+    whole round-3 sweep cascading UNAVAILABLE after one crash)."""
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert int(jnp.asarray(1) + 1) == 2")
+    t0 = time.time()
+    delay = 5.0
+    while True:
+        r = subprocess.run([sys.executable, "-c", probe], capture_output=True)
+        if r.returncode == 0:
+            return
+        if time.time() - t0 > max_wait_s:
+            print(f"[acc] device still unavailable after {max_wait_s}s; "
+                  "continuing anyway", file=sys.stderr, flush=True)
+            return
+        print(f"[acc] device unavailable, retrying in {delay:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(delay)
+        delay = min(delay * 2, 60.0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algos", type=str, default=",".join(ALGOS))
@@ -304,6 +327,7 @@ def main() -> None:
     for name in args.algos.split(","):
         name = name.strip()
         print(f"[acc] === {name} ===", file=sys.stderr, flush=True)
+        _wait_device_ready()
         out_json = os.path.join(tempfile.gettempdir(), f"acc_{name}_{os.getpid()}.json")
         cmd = [sys.executable, os.path.abspath(__file__), "--single", name,
                "--frames", str(args.frames), "--height", str(args.height),

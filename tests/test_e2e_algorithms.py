@@ -54,7 +54,9 @@ def test_voxfusion_pipeline():
         ),
     )
     pipe, ds, res = _run(cfg)
-    assert res["rmse"] * 100 < 10.0
+    # ~2x the measured smoke actual (3.1 cm, docs/benchmark.md) so a real
+    # regression trips the gate instead of hiding under a loose 10 cm bound
+    assert res["rmse"] * 100 < 6.0
     assert int(pipe.algorithm.maps["n_voxels"]) > 10
     # the fused per-frame super-step must have engaged for the mid frames
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
@@ -83,7 +85,8 @@ def test_splatam_pipeline(interp_kernels):
         ),
     )
     pipe, ds, res = _run(cfg, n_frames=6)
-    assert res["rmse"] * 100 < 10.0
+    # ~2x the measured smoke actual (2.9 cm, docs/benchmark.md)
+    assert res["rmse"] * 100 < 6.0
     assert pipe.algorithm.model.n_gauss > 100
     # the fused per-frame super-step must have engaged for the mid frames
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
@@ -155,7 +158,8 @@ def test_pointslam_pipeline():
         ),
     )
     pipe, ds, res = _run(cfg, n_frames=8)
-    assert res["rmse"] * 100 < 6.0
+    # ~2-3x the measured smoke actual (0.66 cm, docs/benchmark.md)
+    assert res["rmse"] * 100 < 2.0
     assert pipe.algorithm.point_map.n_points > 100
     # the fused two-program super-step must have engaged for the mid frames
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
