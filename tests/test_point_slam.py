@@ -86,3 +86,63 @@ def test_scatter_add_matmul_large_table(monkeypatch):
     np.add.at(ref, idx, g)
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 5e-3
+
+
+def test_exposure_mlp_compensates_affine():
+    """MLP_exposure parity (decoder_pointslam.py:294-309): with
+    model_encode_exposure on, a per-frame latent drives a 3x3+offset color
+    affine. Training ONLY the exposure MLP + latent must reproduce a
+    global gain/offset distortion of the rendered colors that the frozen
+    map cannot explain."""
+    import optax
+
+    cam = Camera(fx=60.0, fy=60.0, cx=32.0, cy=24.0, height=48, width=64)
+    model = ConvOnet2(ConvOnet2Config(max_points=2048, model_encode_exposure=True), cam)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "exposure" in params
+    pm = PointMap(max_points=2048, cell_size=0.16)
+    rng = np.random.RandomState(1)
+    pm.add_points((rng.rand(400, 3) * 0.5 + np.array([0, 0, -1.5])).astype(np.float32))
+    maps = pm.device_state()
+    n = 64
+    rays_o = jnp.zeros((n, 3))
+    d = rng.randn(n, 3).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 1.0
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    td = jnp.full((n, 1), 1.5)
+    key = jax.random.PRNGKey(2)
+
+    base = model.render_rays(params, maps, key, rays_o, rays_d, td)["rgb"]
+    # distorted target: channel gains + offset the base map can't produce
+    target = base * jnp.asarray([1.4, 0.7, 1.1]) + jnp.asarray([0.1, -0.05, 0.02])
+
+    latent = jnp.zeros((model.config.model_exposure_dim,))
+    train = {"exposure": params["exposure"], "latent": latent}
+    opt = optax.adam(1e-2)
+    st = opt.init(train)
+
+    @jax.jit
+    def step(train, st):
+        def loss_fn(tr):
+            p = {**params, "exposure": tr["exposure"]}
+            out = model.render_rays(p, maps, key, rays_o, rays_d, td,
+                                    exposure_feat=tr["latent"])
+            return jnp.mean(jnp.square(out["rgb"] - target))
+
+        loss, g = jax.value_and_grad(loss_fn)(train)
+        upd, st = opt.update(g, st)
+        return optax.apply_updates(train, upd), st, loss
+
+    l0 = None
+    for i in range(300):
+        train, st, loss = step(train, st)
+        if l0 is None:
+            l0 = float(loss)
+    lN = float(loss)
+    err0 = float(jnp.abs(base - target).mean())
+    p = {**params, "exposure": train["exposure"]}
+    out = model.render_rays(p, maps, key, rays_o, rays_d, td,
+                            exposure_feat=train["latent"])
+    errN = float(jnp.abs(out["rgb"] - target).mean())
+    assert lN < 0.05 * l0, (l0, lN)
+    assert errN < 0.2 * err0, (err0, errN)

@@ -65,8 +65,10 @@ class ConvOnet2Config(ModelConfig):
     pointcloud_nn_weighting: str = "distance"
     # per-neighbor rel-pos color encoding (decoder_pointslam.py:444-456)
     model_encode_rel_pos_in_col: bool = True
-    # accepted for config parity; the reference leaves exposure unwired
-    # (conv_onet_pointslam.py:188 TODO)
+    # per-frame exposure compensation (decoder_pointslam.py:294-309
+    # MLP_exposure): a learned latent -> 3x3 color rot + offset applied to
+    # the decoded rgb. The reference defines but never enables it
+    # (conv_onet_pointslam.py:188 TODO); here it is functional when on.
     model_encode_exposure: bool = False
     model_exposure_dim: int = 8
     rendering_n_surface: int = 5
@@ -136,6 +138,15 @@ class ConvOnet2(Model):
             params["color"]["nb_b1"] = jnp.zeros((hid,))
             params["color"]["nb_w2"] = xav(k5, hid, c.c_dim)
             params["color"]["nb_b2"] = jnp.zeros((c.c_dim,))
+        if c.model_encode_exposure:
+            ke = jax.random.split(jax.random.fold_in(key, 13), 2)
+            hid = 128
+            params["exposure"] = {
+                "w1": jax.random.normal(ke[0], (c.model_exposure_dim, hid)) * 0.01,
+                "b1": jnp.zeros((hid,)),
+                "w2": jax.random.normal(ke[1], (hid, 12)) * 0.01,
+                "b2": jnp.zeros((12,)),
+            }
         if not c.mapping_fix_geo_decoder or not self.pretrained_available:
             params["decoder"]["geo"] = self._init_geo
         if not c.mapping_fix_color_decoder:
@@ -192,7 +203,7 @@ class ConvOnet2(Model):
         return feat, has_nn
 
     def query_raw(self, params, maps, pts: jnp.ndarray, stage: str,
-                  is_tracker: bool, r_query=None):
+                  is_tracker: bool, r_query=None, exposure_feat=None):
         """[N,3] -> (raw [N,4] (rgb, occ), point_mask [N])."""
         c = self.config
         geo_feat, has_nn = self.interp_features(
@@ -204,14 +215,28 @@ class ConvOnet2(Model):
             col_feat, _ = self.interp_features(
                 params["color"]["feats"], maps, pts, is_tracker, r_query, cp)
             rgb = mlp_decoder_apply(self._dec(params, "col"), pts, col_feat)[:, :3]
+            if exposure_feat is not None and "exposure" in params:
+                rgb = self.apply_exposure(params["exposure"], exposure_feat, rgb)
         else:
             rgb = jnp.zeros((pts.shape[0], 3), pts.dtype)
         return jnp.concatenate([rgb, occ[:, None]], -1), has_nn
 
+    @staticmethod
+    def apply_exposure(ep, exposure_feat, rgb):
+        """Per-frame exposure compensation (decoder_pointslam.py:294-309,
+        :522-528): latent [D] -> MLP -> 12 affine params; rgb' = rgb@R + t.
+        Softplus(beta=100) hidden activation like the reference."""
+        h = exposure_feat @ ep["w1"] + ep["b1"]
+        h = jax.nn.softplus(100.0 * h) / 100.0
+        aff = h @ ep["w2"] + ep["b2"]
+        rot = aff[:9].reshape(3, 3)
+        return rgb @ rot + aff[9:]
+
     # ------------------------------------------------------------------
-    def render_rays(self, params, maps, key, rays_o, rays_d, target_d, stage: str = "color", is_tracker: bool = False, r_query=None):
+    def render_rays(self, params, maps, key, rays_o, rays_d, target_d, stage: str = "color", is_tracker: bool = False, r_query=None, exposure_feat=None):
         """reference: conv_onet_pointslam.py:311-461 (surface-only samples).
-        r_query: optional per-ray dynamic query radius [N]."""
+        r_query: optional per-ray dynamic query radius [N].
+        exposure_feat: optional per-frame exposure latent [exposure_dim]."""
         c = self.config
         n = rays_o.shape[0]
         ns = c.rendering_n_surface
@@ -225,7 +250,8 @@ class ConvOnet2(Model):
         rq = None
         if r_query is not None:
             rq = jnp.broadcast_to(r_query[:, None], (n, ns)).reshape(-1)
-        raw, point_mask = self.query_raw(params, maps, pts.reshape(-1, 3), stage, is_tracker, rq)
+        raw, point_mask = self.query_raw(params, maps, pts.reshape(-1, 3), stage, is_tracker, rq,
+                                         exposure_feat=exposure_feat)
         raw = raw.reshape(n, ns, 4)
         point_mask = point_mask.reshape(n, ns)
         # raw2outputs_nerf_color2 (utils.py:248-295): weight-sum normalized
