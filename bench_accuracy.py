@@ -140,7 +140,9 @@ def steady_stats(frame_times):
     return float(np.mean(keep))
 
 
-def run_algo(name: str, ds, render_freq: int, seed: int) -> dict:
+def run_algo(name: str, ds, render_freq: int, seed: int,
+             out_dir: str = "", resume: bool = False,
+             stop_at: int = 0) -> dict:
     import gc
     import tempfile
 
@@ -151,12 +153,17 @@ def run_algo(name: str, ds, render_freq: int, seed: int) -> dict:
     from xrdslam_tpu.utils.eval_recon import calc_3d_metric
     from xrdslam_tpu.utils.mesh_ops import cull_mesh
 
-    out_dir = tempfile.mkdtemp(prefix=f"bench_acc_{name}_")
+    out_dir = out_dir or tempfile.mkdtemp(prefix=f"bench_acc_{name}_")
     pipeline = (build_coslam(ds, out_dir, seed) if name == "co-slam"
                 else build_from_registry(name, ds, out_dir, seed))
     t0 = time.time()
-    pipeline.run()
+    pipeline.run(resume=resume, stop_at=stop_at or None)
     slam_s = time.time() - t0
+    if stop_at and stop_at < len(ds):
+        # segment mode: state checkpointed, metrics deferred to the final
+        # segment (run in a fresh process — sidesteps worker-lifetime limits)
+        return {"algorithm": name, "partial": True,
+                "frames_done": int(stop_at), "wall_s": round(slam_s, 1)}
     algo = pipeline.algorithm
 
     ate = evaluate_ate(list(np.asarray(ds.poses)), algo.estimate_c2w_list)
@@ -291,6 +298,17 @@ def main() -> None:
                     help="internal: render the GT sequence into --cache and exit")
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-algorithm subprocess timeout (s)")
+    ap.add_argument("--out-dir", type=str, default="",
+                    help="internal: persistent run dir (segmented runs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="internal: resume from out-dir checkpoint")
+    ap.add_argument("--stop-at", type=int, default=0,
+                    help="internal: checkpoint+exit after this frame")
+    ap.add_argument("--segment", type=int, default=0,
+                    help="run algorithms in --segment-algos as N-frame "
+                         "checkpointed subprocess segments (TPU-worker "
+                         "crash mitigation for heavy long runs)")
+    ap.add_argument("--segment-algos", type=str, default="nice-slam")
     args = ap.parse_args()
     if args.full:
         args.frames, args.height, args.width = 2000, 680, 1200
@@ -306,7 +324,9 @@ def main() -> None:
         print(f"[acc] device {jax.devices()[0]}, {args.frames} frames "
               f"{args.width}x{args.height}", file=sys.stderr)
         ds = _make_dataset(args)
-        res = run_algo(args.single, ds, args.render_freq, args.seed)
+        res = run_algo(args.single, ds, args.render_freq, args.seed,
+                       out_dir=args.out_dir, resume=args.resume,
+                       stop_at=args.stop_at)
         with open(args.out, "w") as f:
             json.dump(res, f)
         print(json.dumps(res))
@@ -324,27 +344,65 @@ def main() -> None:
                         "--width", str(args.width), "--cache", cache], check=True)
 
     results = []
+    seg_algos = {s.strip() for s in args.segment_algos.split(",") if s.strip()}
     for name in args.algos.split(","):
         name = name.strip()
         print(f"[acc] === {name} ===", file=sys.stderr, flush=True)
-        _wait_device_ready()
+        base_cmd = [sys.executable, os.path.abspath(__file__), "--single", name,
+                    "--frames", str(args.frames), "--height", str(args.height),
+                    "--width", str(args.width), "--render-freq", str(args.render_freq),
+                    "--seed", str(args.seed), "--cache", cache]
         out_json = os.path.join(tempfile.gettempdir(), f"acc_{name}_{os.getpid()}.json")
-        cmd = [sys.executable, os.path.abspath(__file__), "--single", name,
-               "--frames", str(args.frames), "--height", str(args.height),
-               "--width", str(args.width), "--render-freq", str(args.render_freq),
-               "--seed", str(args.seed), "--cache", cache, "--out", out_json]
-        try:
-            proc = subprocess.run(cmd, timeout=args.timeout)
+
+        def run_child(extra_args, timeout):
+            _wait_device_ready()
+            if os.path.exists(out_json):
+                os.remove(out_json)
+            try:
+                proc = subprocess.run(base_cmd + ["--out", out_json] + extra_args,
+                                      timeout=timeout)
+            except subprocess.TimeoutExpired:
+                return {"algorithm": name, "all_pass": False,
+                        "error": f"timeout after {timeout}s"}
             if os.path.exists(out_json):
                 with open(out_json) as f:
-                    res = json.load(f)
-                os.remove(out_json)
-            else:
-                res = {"algorithm": name, "all_pass": False,
-                       "error": f"subprocess exited {proc.returncode} without a result"}
-        except subprocess.TimeoutExpired:
-            res = {"algorithm": name, "error": f"timeout after {args.timeout}s",
-                   "all_pass": False}
+                    return json.load(f)
+            return {"algorithm": name, "all_pass": False,
+                    "error": f"subprocess exited {proc.returncode} without a result"}
+
+        if args.segment > 0 and name in seg_algos:
+            # checkpointed segments, each in a fresh process: a TPU-worker
+            # crash mid-segment loses at most one segment, and the next
+            # attempt resumes from the last boundary checkpoint
+            run_dir = tempfile.mkdtemp(prefix=f"bench_acc_seg_{name}_")
+            boundaries = list(range(args.segment, args.frames, args.segment)) + [args.frames]
+            wall = 0.0
+            res = None
+            b_idx = 0
+            retries = 0
+            while b_idx < len(boundaries):
+                b = boundaries[b_idx]
+                seg_args = ["--out-dir", run_dir]
+                if b_idx > 0 or retries > 0:
+                    seg_args.append("--resume")
+                if b < args.frames:
+                    seg_args += ["--stop-at", str(b)]
+                print(f"[acc] {name} segment -> frame {b} "
+                      f"(attempt {retries + 1})", file=sys.stderr, flush=True)
+                res = run_child(seg_args, args.timeout)
+                if "error" in res:
+                    retries += 1
+                    if retries > 2:
+                        break
+                    continue  # resume from last boundary checkpoint
+                retries = 0
+                wall += res.get("wall_s", res.get("slam_wall_s", 0.0))
+                b_idx += 1
+            if res is not None and "error" not in res:
+                res["slam_wall_s"] = round(wall, 1)
+                res["segments"] = len(boundaries)
+        else:
+            res = run_child([], args.timeout)
         print(f"[acc] {name}: {json.dumps(res)}", file=sys.stderr, flush=True)
         results.append(res)
 

@@ -56,6 +56,39 @@ def test_resume_mid_run():
     assert len(pipe2.algorithm.estimate_c2w_list) == len(ds)
 
 
+def test_segmented_run_matches_continuous():
+    """A run split into checkpointed segments (stop_at + resume in a FRESH
+    pipeline, as bench_accuracy --segment does across processes) must land
+    where the continuous run lands. NICE-SLAM is the target algorithm (its
+    office-scale runs are the ones that exceed TPU-worker process
+    lifetime), and it exercises the host pose mirror + slot FIFO state."""
+    from tests.test_e2e_algorithms import tiny_nice_pipeline_config
+
+    ds = SyntheticDataset(n_frames=8, height=48, width=64)
+    out = tempfile.mkdtemp()
+
+    cont = tiny_nice_pipeline_config().setup(dataset=ds, out_dir=tempfile.mkdtemp(), verbose=False)
+    cont.run()
+
+    seg1 = tiny_nice_pipeline_config().setup(dataset=ds, out_dir=out, verbose=False)
+    seg1.run(stop_at=5)
+    assert os.path.exists(os.path.join(out, "checkpoint.pkl"))
+    n_done = len(seg1.algorithm.estimate_c2w_list)
+    assert 5 <= n_done < 8
+
+    seg2 = tiny_nice_pipeline_config().setup(dataset=ds, out_dir=out, verbose=False)
+    seg2.run(resume=True)
+    assert len(seg2.algorithm.estimate_c2w_list) == 8
+    # frame-time history spans both segments (steady-fps accounting)
+    assert len(seg2.frame_times) >= 8
+    # the resumed trajectory must match the continuous one closely; the
+    # only divergence source is the device-pose-history reseed at the
+    # segment boundary (same values through a fetch/re-upload round trip)
+    for a, b in zip(seg2.algorithm.estimate_c2w_list, cont.algorithm.estimate_c2w_list):
+        np.testing.assert_allclose(a, b, atol=5e-3)
+    assert seg2.algorithm.kf_count == cont.algorithm.kf_count
+
+
 def test_checkpoint_guards(tmp_path):
     """Version/algorithm mismatch fails loudly; unknown attrs are skipped
     (round-2 hardening)."""

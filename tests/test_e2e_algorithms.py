@@ -92,8 +92,7 @@ def test_splatam_pipeline(interp_kernels):
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
 
 
-def test_nice_slam_fused_pipeline():
-    """NICE-SLAM through the pipeline with the fused group super-step."""
+def tiny_nice_pipeline_config():
     from xrdslam_tpu.algorithms.nice_slam import NiceSLAMConfig
     from xrdslam_tpu.common.mesher import MesherConfig
     from xrdslam_tpu.engine.schedulers import LRconfig, NiceSLAMSchedulerConfig as NS
@@ -104,7 +103,7 @@ def test_nice_slam_fused_pipeline():
     # bound tighter than the walls silently kills EVERY ray (found as the
     # round-3 60-frame ATE-90cm inert-tracking bug).
     bound = [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]]
-    cfg = SLAMPipelineConfig(
+    return SLAMPipelineConfig(
         tracker=TrackerConfig(map_every=2, render_freq=-1, save_re_render_result=False),
         mapper=MapperConfig(keyframe_every=2),
         algorithm=NiceSLAMConfig(
@@ -129,7 +128,11 @@ def test_nice_slam_fused_pipeline():
             },
         ),
     )
-    pipe, ds, res = _run(cfg, n_frames=8)
+
+
+def test_nice_slam_fused_pipeline():
+    """NICE-SLAM through the pipeline with the fused group super-step."""
+    pipe, ds, res = _run(tiny_nice_pipeline_config(), n_frames=8)
     assert res["rmse"] * 100 < 10.0
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
 

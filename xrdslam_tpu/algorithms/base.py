@@ -106,9 +106,39 @@ class Algorithm:
 
     # -- host bookkeeping (reference: base_algorithm.py:106-158) ----------
     def add_framepose(self, c2w: np.ndarray, gt_c2w: np.ndarray, gt_c2w_ori: np.ndarray) -> None:
-        self.estimate_c2w_list.append(np.asarray(c2w))
+        c2w = np.asarray(c2w)
+        if not np.isfinite(c2w).all():
+            self._on_nonfinite_pose(len(self.estimate_c2w_list), c2w)
+            # survivable: substitute the previous pose so downstream
+            # SVD/eval math stays defined while the warning flags the run
+            if self.estimate_c2w_list:
+                c2w = self.estimate_c2w_list[-1]
+        self.estimate_c2w_list.append(c2w)
         self.gt_c2w_list.append(np.asarray(gt_c2w))
         self.gt_c2w_list_ori.append(np.asarray(gt_c2w_ori))
+
+    def _on_nonfinite_pose(self, idx: int, c2w: np.ndarray) -> None:
+        import os
+        import sys
+
+        n = getattr(self, "_nonfinite_poses", 0)
+        self._nonfinite_poses = n + 1
+        if n < 5:
+            print(f"[slam] WARNING: non-finite pose at frame {idx}",
+                  file=sys.stderr, flush=True)
+        if n == 0 and os.environ.get("XRDSLAM_DEBUG_DUMP"):
+            try:
+                import jax
+                import pickle
+
+                path = os.environ["XRDSLAM_DEBUG_DUMP"]
+                params = getattr(self, "model_params", None)
+                with open(path, "wb") as f:
+                    pickle.dump({"frame": idx,
+                                 "params": jax.device_get(params)}, f)
+                print(f"[slam] dumped state to {path}", file=sys.stderr, flush=True)
+            except Exception as e:  # diagnosis aid only, never fatal
+                print(f"[slam] debug dump failed: {e}", file=sys.stderr, flush=True)
 
     def update_framepose(self, idx: int, c2w: np.ndarray) -> None:
         self.estimate_c2w_list[idx] = np.asarray(c2w)

@@ -30,9 +30,11 @@ _STATE_ATTRS = [
     "dead",  # splatam in-scan prune mask
     "kf_rays",
     "kf_images",
+    "kf_depth",  # splatam keyframe depth stack
     "kf_pose",
     "kf_pose_t",
     "kf_pose_r",
+    "kf_pose_host",  # nice-slam host mirror (numpy, in-place writes)
     "kf_count",
     "kf_frames",
     "keyframe_fids",
@@ -62,12 +64,17 @@ def _to_device(tree: Any) -> Any:
 CKPT_VERSION = 2
 
 
-def save_checkpoint(path: str, algorithm: Any, frame_idx: int) -> None:
+def save_checkpoint(path: str, algorithm: Any, frame_idx: int,
+                    extra: Dict[str, Any] | None = None) -> None:
     state: Dict[str, Any] = {
         "version": CKPT_VERSION,
         "algorithm": type(algorithm).__name__,
         "frame_idx": frame_idx,
         "attrs": {},
+        # pipeline-owned state (relative-pose remap anchors, frame-time
+        # history) so a run can be RESUMED IN A NEW PROCESS — the basis of
+        # segmented long runs that sidestep TPU-worker lifetime limits
+        "extra": dict(extra or {}),
     }
     for attr in _STATE_ATTRS:
         if hasattr(algorithm, attr):
@@ -85,9 +92,9 @@ def save_checkpoint(path: str, algorithm: Any, frame_idx: int) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, algorithm: Any) -> int:
+def load_checkpoint(path: str, algorithm: Any, want_extra: bool = False):
     """Restore state into a freshly constructed algorithm; returns the frame
-    index to resume from.
+    index to resume from (or ``(frame_idx, extra)`` when ``want_extra``).
 
     Tolerant partial load: checkpoint attrs the current algorithm lacks are
     skipped with a warning (forward-compatible across attribute renames);
@@ -110,7 +117,7 @@ def load_checkpoint(path: str, algorithm: Any) -> int:
             print(f"[checkpoint] skipping unknown attr {attr!r}", flush=True)
             continue
         if attr in ("kf_count", "keyframe_fids", "estimate_c2w_list", "gt_c2w_list", "gt_c2w_list_ori",
-                    "initialized", "vox_map", "point_map", "kf_frames"):
+                    "initialized", "vox_map", "point_map", "kf_frames", "kf_pose_host"):
             setattr(algorithm, attr, val)
         else:
             setattr(algorithm, attr, _to_device(val))
@@ -121,4 +128,6 @@ def load_checkpoint(path: str, algorithm: Any) -> int:
         algorithm.maps = algorithm.vox_map.device_state()
     if hasattr(algorithm, "point_map") and hasattr(algorithm, "maps"):
         algorithm.maps = algorithm.point_map.device_state()
+    if want_extra:
+        return int(state["frame_idx"]), state.get("extra", {})
     return int(state["frame_idx"])

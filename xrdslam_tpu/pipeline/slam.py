@@ -97,6 +97,8 @@ class SLAMPipeline:
             return est[0]
         delta = est[frame_id - 1] @ np.linalg.inv(est[frame_id - 2])
         pred = delta @ est[frame_id - 1]
+        if not np.isfinite(pred).all():
+            return est[frame_id - 1]
         # re-orthonormalize the rotation (f32 products drift ~1e-3/frame)
         u, _, vt = np.linalg.svd(pred[:3, :3])
         pred[:3, :3] = u @ vt
@@ -138,7 +140,13 @@ class SLAMPipeline:
                 gt_c2w = (self._first_pose_new @ delta).astype(np.float32)
         return gt_c2w, gt_c2w_ori
 
-    def run(self, resume: bool = False) -> None:
+    def run(self, resume: bool = False, stop_at: int | None = None) -> None:
+        """Run the SLAM loop. ``stop_at`` ends the run after frame
+        ``stop_at - 1`` and saves a resumable checkpoint instead of
+        finalizing — together with ``resume`` this lets a long sequence be
+        processed as several short-lived processes (each segment re-attaches
+        to the TPU client fresh; observed to sidestep TPU-worker crashes on
+        very long heavy runs)."""
         cfg_t = self.config.tracker
         cfg_m = self.config.mapper
         algo = self.algorithm
@@ -152,7 +160,12 @@ class SLAMPipeline:
         if resume and os.path.exists(self._ckpt_path):
             from ..engine.checkpoint import load_checkpoint
 
-            start = load_checkpoint(self._ckpt_path, algo) + 1
+            idx, extra = load_checkpoint(self._ckpt_path, algo, want_extra=True)
+            start = idx + 1
+            if extra.get("first_pose_old") is not None:
+                self._first_pose_old = np.asarray(extra["first_pose_old"])
+                self._first_pose_new = np.asarray(extra["first_pose_new"])
+            self.frame_times = list(extra.get("frame_times", []))
             print(f"[slam] resumed from {self._ckpt_path} at frame {start}", flush=True)
 
         # fused group fast path: one device program per map_every frames
@@ -179,8 +192,9 @@ class SLAMPipeline:
             trace_lo, trace_hi = int(lo), int(hi or (int(lo) + 1))
         tracing = False
 
+        end = n if stop_at is None else max(min(int(stop_at), n), start)
         i = start
-        while i < n:
+        while i < end:
             if trace_lo >= 0 and not tracing and i >= trace_lo and i < trace_hi:
                 import jax
 
@@ -215,6 +229,16 @@ class SLAMPipeline:
 
             jax.profiler.stop_trace()
             print(f"[slam] jax trace saved to {self.out_dir}/jax_trace", flush=True)
+        if end < n:
+            # segment boundary: persist full state (incl. pipeline-owned
+            # remap anchors + frame-time history) and skip finalization
+            from ..engine.checkpoint import save_checkpoint
+
+            save_checkpoint(self._ckpt_path, algo, i - 1,
+                            extra=self._ckpt_extra())
+            print(f"[slam] segment checkpoint at frame {i - 1} -> "
+                  f"{self._ckpt_path}", flush=True)
+            return
         self._finish_run()
 
     # ------------------------------------------------------------------
@@ -275,7 +299,8 @@ class SLAMPipeline:
             from ..engine.checkpoint import save_checkpoint
 
             self._flush_super()  # checkpoint needs the full est list
-            save_checkpoint(self._ckpt_path, algo, i + group - 1)
+            save_checkpoint(self._ckpt_path, algo, i + group - 1,
+                            extra=self._ckpt_extra())
         if self.verbose and (i // group) % 4 == 0 and self.frame_times:
             fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
             print(f"[slam] frame {i}/{n}  {fps:.2f} fps", flush=True)
@@ -298,6 +323,14 @@ class SLAMPipeline:
         dt = max(now - t_ref, 1e-9) / group
         self._last_group_done = now
         self.frame_times.extend([dt] * group)
+
+    def _ckpt_extra(self) -> dict:
+        """Pipeline-owned state a cross-process resume needs."""
+        return {
+            "first_pose_old": self._first_pose_old,
+            "first_pose_new": self._first_pose_new,
+            "frame_times": list(self.frame_times),
+        }
 
     def _flush_super(self) -> None:
         """Complete any in-flight group (host state catches up to device)."""
@@ -389,7 +422,7 @@ class SLAMPipeline:
         if cfg_t.checkpoint_every > 0 and (i % cfg_t.checkpoint_every == 0 or frame.is_final_frame):
             from ..engine.checkpoint import save_checkpoint
 
-            save_checkpoint(self._ckpt_path, algo, i)
+            save_checkpoint(self._ckpt_path, algo, i, extra=self._ckpt_extra())
 
         if self.verbose and (i % 20 == 0 or frame.is_final_frame):
             fps = 1.0 / max(np.mean(self.frame_times[-20:]), 1e-9)
