@@ -143,7 +143,47 @@ def run_one(encoding: str, ds, seed: int = 0) -> dict:
     }
 
 
+def _ensure_device(max_wait_s: int = 1800) -> None:
+    """Survive a crashed/recovering TPU worker at bench start.
+
+    When the worker is down, the axon plugin's interpreter-start
+    registration fails and cannot be redone in this process — so after
+    waiting for the device to answer a subprocess probe (each probe needs
+    its own timeout: a down worker makes probe interpreters HANG in a
+    connect-retry sleep, not error), re-exec the bench in a fresh process.
+    Total wait is carried across re-execs via an env var."""
+    import subprocess
+
+    try:
+        import jax
+
+        jax.devices()
+        return
+    except Exception as e:
+        print(f"[bench] device init failed: {e}", file=sys.stderr, flush=True)
+    waited = float(os.environ.get("XRDSLAM_BENCH_WAITED", "0"))
+    if waited >= max_wait_s:
+        print("[bench] giving up waiting for device", file=sys.stderr, flush=True)
+        return
+    probe = "import jax, jax.numpy as jnp; assert int(jnp.asarray(1) + 1) == 2"
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s - waited:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print("[bench] device unavailable, retrying in 30s",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+    os.environ["XRDSLAM_BENCH_WAITED"] = str(waited + time.time() - t0)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> None:
+    _ensure_device()
     import jax
 
     from xrdslam_tpu.common.synthetic import SyntheticDataset

@@ -266,8 +266,15 @@ def _wait_device_ready(max_wait_s: int = 600) -> None:
     t0 = time.time()
     delay = 5.0
     while True:
-        r = subprocess.run([sys.executable, "-c", probe], capture_output=True)
-        if r.returncode == 0:
+        # probe needs its own timeout: when the worker is down, the axon
+        # sitecustomize register() blocks interpreter start in a
+        # connect-retry sleep, so the probe hangs rather than erroring
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+        except subprocess.TimeoutExpired:
+            r = None
+        if r is not None and r.returncode == 0:
             return
         if time.time() - t0 > max_wait_s:
             print(f"[acc] device still unavailable after {max_wait_s}s; "
