@@ -316,6 +316,9 @@ def main() -> None:
                          "checkpointed subprocess segments (TPU-worker "
                          "crash mitigation for heavy long runs)")
     ap.add_argument("--segment-algos", type=str, default="nice-slam")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep existing --out entries for algorithms not in "
+                         "this sweep (incremental sessions)")
     args = ap.parse_args()
     if args.full:
         args.frames, args.height, args.width = 2000, 680, 1200
@@ -350,10 +353,45 @@ def main() -> None:
                         "--frames", str(args.frames), "--height", str(args.height),
                         "--width", str(args.width), "--cache", cache], check=True)
 
+    # merge mode: keep entries from an existing out file for algorithms not
+    # re-run in this sweep (lets a short session extend prior results
+    # instead of clobbering them). Round-2 files were a bare co-slam dict;
+    # normalize those into the per-algorithm list format.
+    prior = {}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        entries = old.get("algorithms", [old] if "ate_cm" in old else [])
+        for e in entries:
+            e.setdefault("algorithm",
+                         "co-slam" if "coslam" in e.get("metric", "") else "?")
+            prior[e["algorithm"]] = e
+
     results = []
+    sweep_names = [s.strip() for s in args.algos.split(",") if s.strip()]
+
+    def flush(partial: bool) -> None:
+        merged = list(results)
+        have = {r.get("algorithm") for r in merged}
+        merged += [e for n, e in prior.items() if n not in have]
+        out = {
+            "metric": "accuracy_office_synthetic_per_algorithm",
+            "frames": args.frames,
+            "resolution": f"{args.width}x{args.height}",
+            "partial": partial,
+            "algorithms": merged,
+            "n_pass": sum(1 for r in merged if r.get("all_pass")),
+            "n_total": len(merged),
+        }
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(tmp, args.out)
+        if not partial:
+            print(json.dumps(out))
+
     seg_algos = {s.strip() for s in args.segment_algos.split(",") if s.strip()}
-    for name in args.algos.split(","):
-        name = name.strip()
+    for name in sweep_names:
         print(f"[acc] === {name} ===", file=sys.stderr, flush=True)
         base_cmd = [sys.executable, os.path.abspath(__file__), "--single", name,
                     "--frames", str(args.frames), "--height", str(args.height),
@@ -412,18 +450,8 @@ def main() -> None:
             res = run_child([], args.timeout)
         print(f"[acc] {name}: {json.dumps(res)}", file=sys.stderr, flush=True)
         results.append(res)
-
-    out = {
-        "metric": "accuracy_office_synthetic_per_algorithm",
-        "frames": args.frames,
-        "resolution": f"{args.width}x{args.height}",
-        "algorithms": results,
-        "n_pass": sum(1 for r in results if r.get("all_pass")),
-        "n_total": len(results),
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out))
+        flush(partial=True)   # incremental: each finished algorithm lands
+    flush(partial=False)
 
 
 if __name__ == "__main__":

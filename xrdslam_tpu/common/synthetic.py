@@ -190,6 +190,24 @@ def tour_poses(n_frames: int, cm_per_frame: float = 0.6, seed: int = 0) -> np.nd
     return poses
 
 
+def simple_gt_mesh(voxel: float = 0.05):
+    """Exact GT mesh of the simple scene (room + two objects): marching
+    tetrahedra of the analytic SDF. Used by the NeuralRecon sequence-level
+    reconstruction gate (tests/test_neucon_sequence.py)."""
+    from ..ops.marching_tets import marching_tetrahedra
+    from ..utils.mesh_ops import Mesh
+
+    half = ROOM_HALF + 0.02
+    xs = [np.arange(-h, h + voxel, voxel, dtype=np.float32) for h in half]
+    gx, gy, gz = np.meshgrid(xs[0], xs[1], xs[2], indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    volume = scene_sdf(pts).reshape(gx.shape).astype(np.float32)
+    verts, faces = marching_tetrahedra(
+        volume, level=0.0, origin=(xs[0][0], xs[1][0], xs[2][0]),
+        spacing=(voxel, voxel, voxel))
+    return Mesh(verts, faces, None)
+
+
 def office_gt_mesh(voxel: float = 0.02):
     """Exact GT mesh: marching tetrahedra of the analytic SDF."""
     from ..ops.marching_tets import marching_tetrahedra
@@ -378,9 +396,8 @@ class SyntheticDataset:
                          [-half[2] - m, half[2] + m]], np.float32)
 
     def gt_mesh(self, voxel: float = 0.02):
-        """Exact scene mesh (office scene only) for 3D reconstruction
-        metrics — the synthetic stand-in for Replica's cull_replica_mesh
-        ground truth."""
-        if self.scene != "office":
-            raise ValueError("gt_mesh is defined for the office scene")
-        return office_gt_mesh(voxel)
+        """Exact scene mesh for 3D reconstruction metrics — the synthetic
+        stand-in for Replica's cull_replica_mesh ground truth."""
+        if self.scene == "office":
+            return office_gt_mesh(voxel)
+        return simple_gt_mesh(max(voxel, 0.05))
