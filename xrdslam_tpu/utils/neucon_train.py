@@ -26,15 +26,44 @@ import numpy as np
 import optax
 
 
+def _visibility(pts: np.ndarray, frames: Sequence, cam,
+                trunc: float) -> np.ndarray:
+    """Depth-fusion visibility: a point is observed if it projects into at
+    least one frame's image in front of the camera and lies no deeper than
+    the observed depth + truncation. This is what distinguishes real TSDF
+    GT (fused from depth maps — the reference's generate_gt pipeline) from
+    the raw analytic SDF: voxels behind surfaces or outside every frustum
+    must stay EMPTY in the target, otherwise training teaches the network
+    to hallucinate geometry it cannot see."""
+    vis = np.zeros(pts.shape[0], bool)
+    for f in frames:
+        c2w = f.get_pose()  # CV convention (+z forward, y down)
+        w2c = np.linalg.inv(c2w)
+        pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.round(cam.fx * pc[:, 0] / z + cam.cx).astype(np.int64)
+            v = np.round(cam.fy * pc[:, 1] / z + cam.cy).astype(np.int64)
+        inb = (z > 1e-3) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        d = np.zeros_like(z)
+        d[inb] = np.asarray(f.depth)[v[inb], u[inb]]
+        vis |= inb & (d > 0) & (z < d + trunc)
+    return vis
+
+
 def level_targets(mc, vol_origin: np.ndarray,
-                  sdf_fn: Callable[[np.ndarray], np.ndarray]):
-    """Per-level dense (tsdf, occ) targets from an analytic scene SDF.
+                  sdf_fn: Callable[[np.ndarray], np.ndarray],
+                  frames: Sequence = None, cam=None):
+    """Per-level dense (tsdf, occ) targets from an analytic scene SDF,
+    restricted to depth-observed voxels when ``frames``/``cam`` are given
+    (matching the reference's depth-fused TSDF GT; unobserved = empty).
 
     Truncation is a fixed 3 *finest* voxels at every level (NeuralRecon's
     TSDF-GT convention; scaling the band with level spacing would make the
-    coarse occupancy all-ones and zero out its BCE pos-weight).
+    coarse occupancy target all-ones and zero out its BCE pos-weight).
     """
     tsdf_ts, occ_ts = [], []
+    trunc = 3.0 * mc.voxel_size
     for i in range(mc.n_layer):
         interval = 2 ** (mc.n_layer - 1 - i)
         dim = mc.n_vox // interval
@@ -43,8 +72,10 @@ def level_targets(mc, vol_origin: np.ndarray,
         pts = (np.stack([gx, gy, gz], -1).reshape(-1, 3) * mc.voxel_size
                + vol_origin)
         sdf = np.asarray(sdf_fn(pts)).reshape(dim, dim, dim)
-        trunc = 3.0 * mc.voxel_size
         tsdf = np.clip(sdf / trunc, -1.0, 1.0).astype(np.float32)
+        if frames is not None:
+            vis = _visibility(pts, frames, cam, trunc).reshape(dim, dim, dim)
+            tsdf = np.where(vis, tsdf, 1.0).astype(np.float32)
         occ = (np.abs(tsdf) < 1.0).astype(np.float32)
         tsdf_ts.append(jnp.asarray(tsdf))
         occ_ts.append(jnp.asarray(occ))
@@ -80,6 +111,7 @@ def collect_fragments(algo, frames: Sequence) -> List[dict]:
                 "vol_origin": jnp.asarray(vol_origin),
                 "origin_vox": origin_vox,
                 "aligned_T": jnp.asarray(aligned_T),
+                "frames": list(pending),
             })
             pending = []
     return frags
@@ -97,7 +129,8 @@ def train_sequence(algo, frags: List[dict],
 
     mc = algo.model.config
     model = algo.model
-    targets = [level_targets(mc, np.asarray(fr["vol_origin"]), sdf_fn)
+    targets = [level_targets(mc, np.asarray(fr["vol_origin"]), sdf_fn,
+                             frames=fr.get("frames"), cam=algo.camera)
                for fr in frags]
 
     opt = optax.adam(lr)
