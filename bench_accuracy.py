@@ -193,6 +193,10 @@ def run_algo(name: str, ds, render_freq: int, seed: int,
         "ssim": round(twod["ssim"], 4),
         "depth_l1_cm": round(twod["depth_l1"], 3),
         "steady_fps": round(fps, 3),
+        # wall fps counts EVERYTHING (compiles, window-variant recompiles,
+        # meshing stalls) — at protocol scale those are the run, so report
+        # it alongside the compile-spike-rejected steady number
+        "wall_fps": round(len(ds) / max(slam_s, 1e-9), 3),
         "slam_wall_s": round(slam_s, 1),
     }
 
@@ -403,17 +407,35 @@ def main() -> None:
             _wait_device_ready()
             if os.path.exists(out_json):
                 os.remove(out_json)
+            # child stderr goes to a file so crash tracebacks land in the
+            # JSON error entry (round-3 lesson: "exited 1 without a result"
+            # hid a TPU kernel fault the driver never saw)
+            err_path = out_json + ".stderr"
+
+            def err_tail(n=15):
+                try:
+                    with open(err_path, errors="replace") as f:
+                        lines = f.readlines()
+                    sys.stderr.writelines(lines[-40:])
+                    return "".join(lines[-n:])[-4000:]
+                except OSError:
+                    return ""
+
             try:
-                proc = subprocess.run(base_cmd + ["--out", out_json] + extra_args,
-                                      timeout=timeout)
+                with open(err_path, "w") as ef:
+                    proc = subprocess.run(base_cmd + ["--out", out_json] + extra_args,
+                                          timeout=timeout, stderr=ef)
             except subprocess.TimeoutExpired:
                 return {"algorithm": name, "all_pass": False,
-                        "error": f"timeout after {timeout}s"}
+                        "error": f"timeout after {timeout}s",
+                        "stderr_tail": err_tail()}
             if os.path.exists(out_json):
+                err_tail(0)
                 with open(out_json) as f:
                     return json.load(f)
             return {"algorithm": name, "all_pass": False,
-                    "error": f"subprocess exited {proc.returncode} without a result"}
+                    "error": f"subprocess exited {proc.returncode} without a result",
+                    "stderr_tail": err_tail()}
 
         if args.segment > 0 and name in seg_algos:
             # checkpointed segments, each in a fresh process: a TPU-worker
@@ -445,6 +467,7 @@ def main() -> None:
                 b_idx += 1
             if res is not None and "error" not in res:
                 res["slam_wall_s"] = round(wall, 1)
+                res["wall_fps"] = round(args.frames / max(wall, 1e-9), 3)
                 res["segments"] = len(boundaries)
         else:
             res = run_child([], args.timeout)

@@ -70,6 +70,11 @@ class PointSLAMConfig(AlgorithmConfig):
     max_keyframes: int = 64
     mesh_resolution: int = 256
     seed: int = 0
+    # max scan iterations per device program in the (host-driven) mapping
+    # path: one over-long program (> ~100 s) kills the TPU worker, so long
+    # first-mapping optimizations run as several chunked programs with Adam
+    # state carried across chunks
+    map_chunk_iters: int = 150
 
 
 class PointSLAM(Algorithm):
@@ -192,8 +197,8 @@ class PointSLAM(Algorithm):
 
         self._track_step = jax.jit(track_step)
 
-        def map_step(params, maps, images, poses, grad_uv, n_valid, key, *,
-                     n_frames, n_iters, n_grad):
+        def map_step(params, maps, images, poses, grad_uv, n_valid, key,
+                     opt_state, *, n_frames, geo_steps, color_steps, n_grad):
             # images/poses padded to the STATIC window size; the
             # slot->frame map (window_slot_frame) spreads slots evenly over
             # the n_valid real frames and pins slot W-1 to the CURRENT
@@ -202,13 +207,17 @@ class PointSLAM(Algorithm):
             # pixs rounded so the concatenated ray batch (n_frames*pixs +
             # n_grad) stays divisible by the dp mesh; n_grad is a config
             # constant the user must pick divisible when devices>1
+            #
+            # (geo_steps, color_steps) are this CALL's slice of the
+            # geometry->color schedule; opt_state (None on the first chunk)
+            # carries Adam moments across chunk calls so a long first
+            # mapping can run as several sub-watchdog device programs
+            # (one >100 s program kills the TPU worker — round-4 diagnosis)
             pixs = self._round_to_devices(
                 max(cfg.mapping_sample // n_frames, cfg.min_sample_pixels))
-            geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
-            phases = [("geometry", geo_iters), ("color", n_iters - geo_iters)]
+            phases = [("geometry", geo_steps), ("color", color_steps)]
             groups_all = [g for g in ("decoder", "geometry", "color") if g in params and (g != "decoder" or params["decoder"])]
             all_params = {g: params[g] for g in groups_all}
-            opt_state = None
             for stage, steps in phases:
                 if steps <= 0:
                     continue
@@ -260,7 +269,7 @@ class PointSLAM(Algorithm):
 
                 keys = jax.random.split(jax.random.fold_in(key, hash(stage) % 997), steps)
                 (all_params, opt_state), _ = jax.lax.scan(body, (all_params, opt_state), keys)
-            return {**params, **all_params}
+            return {**params, **all_params}, opt_state
 
         self._map_step_raw = map_step
 
@@ -294,9 +303,12 @@ class PointSLAM(Algorithm):
             is_cur = jnp.arange(wn) >= n_valid - 1
             images = jnp.where(is_cur[:, None, None, None], cur_img[None], images)
             poses = jnp.where(is_cur[:, None], cur_pose[None], poses)
-            params = map_step(params, maps, images, poses, grad_uv, n_valid,
-                              keys[group], n_frames=wn, n_iters=n_iters,
-                              n_grad=n_grad)
+            geo_iters = int(cfg.mapping_geo_iter_ratio * n_iters)
+            params, _ = map_step(params, maps, images, poses, grad_uv,
+                                 n_valid, keys[group], None, n_frames=wn,
+                                 geo_steps=geo_iters,
+                                 color_steps=n_iters - geo_iters,
+                                 n_grad=n_grad)
             if do_kf:
                 kf_images = kf_images.at[kf_slot].set(cur_img)
                 kf_pose = kf_pose.at[kf_slot].set(cur_pose)
@@ -424,14 +436,26 @@ class PointSLAM(Algorithm):
         n_valid = len(slots) + 1
         W_static = cfg.mapping_window_size
         images, poses = self.pad_window(images, poses, cur_img, cur_pose, W_static)
-        sig = (W_static, n_iters, n_grad)
-        if sig not in self._map_variants:
-            self._map_variants[sig] = jax.jit(
-                functools.partial(self._map_step_raw, n_frames=sig[0], n_iters=sig[1], n_grad=sig[2])
-            )
-        self.model_params = self._map_variants[sig](
-            self.model_params, self.maps, images, poses, grad_uv,
-            jnp.asarray(n_valid, jnp.int32), self._next_key())
+        # chunked dispatch: several sub-watchdog programs, Adam state carried
+        # across chunks (semantically one n_iters-long optimization)
+        geo_total = int(cfg.mapping_geo_iter_ratio * n_iters)
+        chunk = max(int(cfg.map_chunk_iters), 1)
+        opt_state = None
+        a = 0
+        while a < n_iters:
+            b = min(a + chunk, n_iters)
+            geo_steps = max(0, min(geo_total, b) - a)
+            color_steps = (b - a) - geo_steps
+            sig = (W_static, geo_steps, color_steps, n_grad, opt_state is None)
+            if sig not in self._map_variants:
+                self._map_variants[sig] = jax.jit(functools.partial(
+                    self._map_step_raw, n_frames=W_static,
+                    geo_steps=geo_steps, color_steps=color_steps,
+                    n_grad=n_grad))
+            self.model_params, opt_state = self._map_variants[sig](
+                self.model_params, self.maps, images, poses, grad_uv,
+                jnp.asarray(n_valid, jnp.int32), self._next_key(), opt_state)
+            a = b
         if first:
             self.set_initialized()
 

@@ -169,16 +169,22 @@ class ConvOnet2(Model):
         return c.pointcloud_radius_query
 
     def interp_features(self, feats_table, maps, pts, is_tracker: bool,
-                        r_query=None, color_params=None):
+                        r_query=None, color_params=None, nn=None):
         """kNN weighted interpolation (decoder_pointslam.py:163-210,
         405-456). Weighting: 'distance' 1/D^2 or 'expweight' e^{-20 d};
         neighbors beyond the (per-point dynamic) query radius get weight 0.
         When color_params is given, neighbor features pass through the
         rel-pos F_theta MLP first (decoder:444-456).
+        ``nn``: optional precomputed (D2, I, n_valid, cpos) — geometry and
+        color query the SAME points, so query_raw runs kNN once and shares
+        it (and the kNN already carries candidate positions, avoiding a
+        per-neighbor row re-gather).
         Returns (feat [N,C], has_nn [N])."""
         c = self.config
-        D2, I, n_valid = knn_query(maps, jax.lax.stop_gradient(pts), k=c.pointcloud_nn_num)
-        cpos = jnp.take(maps["pos"], I, axis=0)  # [N, k, 3]
+        if nn is None:
+            nn = knn_query(maps, jax.lax.stop_gradient(pts),
+                           k=c.pointcloud_nn_num, with_pos=True)
+        D2, I, n_valid, cpos = nn
         if is_tracker:
             # re-derive distances so pose gradients flow (decoder:181-186)
             D2 = jnp.sum(jnp.square(cpos - pts[:, None, :]), -1)
@@ -206,14 +212,16 @@ class ConvOnet2(Model):
                   is_tracker: bool, r_query=None, exposure_feat=None):
         """[N,3] -> (raw [N,4] (rgb, occ), point_mask [N])."""
         c = self.config
+        nn = knn_query(maps, jax.lax.stop_gradient(pts),
+                       k=c.pointcloud_nn_num, with_pos=True)
         geo_feat, has_nn = self.interp_features(
-            params["geometry"]["feats"], maps, pts, is_tracker, r_query)
+            params["geometry"]["feats"], maps, pts, is_tracker, r_query, nn=nn)
         occ = mlp_decoder_apply(self._dec(params, "geo"), pts, geo_feat)[:, 0]
         occ = jnp.where(has_nn, occ, -100.0)
         if stage == "color":
             cp = params["color"] if c.model_encode_rel_pos_in_col else None
             col_feat, _ = self.interp_features(
-                params["color"]["feats"], maps, pts, is_tracker, r_query, cp)
+                params["color"]["feats"], maps, pts, is_tracker, r_query, cp, nn=nn)
             rgb = mlp_decoder_apply(self._dec(params, "col"), pts, col_feat)[:, :3]
             if exposure_feat is not None and "exposure" in params:
                 rgb = self.apply_exposure(params["exposure"], exposure_feat, rgb)

@@ -66,10 +66,19 @@ def scatter_add_matmul(idx: jnp.ndarray, g: jnp.ndarray, num_rows: int) -> jnp.n
     """Equivalent of zeros([num_rows, C]).at[idx].add(g) without scatter ops.
 
     idx [N] int32, g [N, C] with C a power-of-two divisor of 128.
+
+    Adaptive: the one-hot-matmul kernel's cost is n_row_blocks x n_idx_blocks
+    MXU steps, so it only beats XLA's native scatter-add (~26 us per 1k
+    updates, measured v5e) while the whole table fits in a few VMEM row
+    blocks. For big tables (> ~4 row blocks, e.g. the 262k-point Point-SLAM
+    feature tables) XLA scatter is ~10x faster — measured 5.3 ms vs 53 ms at
+    200k updates into 262144x32.
     """
     n, C = g.shape
     assert 128 % C == 0, f"C={C} must divide 128"
     per_row = 128 // C
+    if _ceil_to(num_rows, per_row * 8) // per_row > 4 * 1024:
+        return jnp.zeros((num_rows, C), g.dtype).at[idx].add(g)
     pad = (-n) % BLK
     if pad:
         # padded entries target row 0 with zero grads (harmless)
