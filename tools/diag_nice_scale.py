@@ -12,8 +12,11 @@ synthetic office scene) for N frames, then separates the failure modes the
      tracking; good => tracking drift is the driver
 
 Usage:  python tools/diag_nice_scale.py [frames] [--no-super]
+            [--track-iters N] [--track-sample N] [--track-lr F]
+            [--hedge N] [--map-iters N]
 Writes /tmp/diag_nice_scale.json with the curves.
 """
+import argparse
 import copy
 import json
 import os
@@ -24,8 +27,17 @@ import numpy as np
 
 
 def main():
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    if "--no-super" in sys.argv:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("frames", type=int, nargs="?", default=200)
+    ap.add_argument("--no-super", action="store_true")
+    ap.add_argument("--track-iters", type=int, default=0)
+    ap.add_argument("--track-sample", type=int, default=0)
+    ap.add_argument("--track-lr", type=float, default=0.0)
+    ap.add_argument("--hedge", type=int, default=-1)
+    ap.add_argument("--map-iters", type=int, default=0)
+    args = ap.parse_args()
+    frames = args.frames
+    if args.no_super:
         os.environ["XRDSLAM_DISABLE_SUPER"] = "1"
 
     from xrdslam_tpu.common.synthetic import SyntheticDataset
@@ -50,6 +62,20 @@ def main():
     a.mapping_bound = bound
     a.marching_cubes_bound = bound
     a.max_keyframes = 64
+    if args.track_iters:
+        a.tracking_n_iters = args.track_iters
+    if args.track_sample:
+        a.tracking_sample = args.track_sample
+    if args.track_lr:
+        a.optimizers["tracking_pose"]["optimizer"].lr = args.track_lr
+    if args.hedge >= 0:
+        a.tracking_Hedge = args.hedge
+        a.tracking_Wedge = args.hedge
+    if args.map_iters:
+        a.mapping_n_iters = args.map_iters
+    print(f"[diag] track iters={a.tracking_n_iters} sample={a.tracking_sample} "
+          f"lr={a.optimizers['tracking_pose']['optimizer'].lr} "
+          f"hedge={a.tracking_Hedge} map_iters={a.mapping_n_iters}", flush=True)
     out_dir = "/tmp/diag_nice_scale_out"
     pipeline = cfg.setup(dataset=ds, out_dir=out_dir, verbose=True)
 

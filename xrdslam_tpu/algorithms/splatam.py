@@ -72,10 +72,11 @@ class SplaTAM(Algorithm):
     def __init__(self, config: SplaTAMConfig, camera: Camera) -> None:
         super().__init__(config, camera)
         self.model = config.model.setup(camera=camera, bounding_box=None)
+        self.model.mesh = self.mesh  # tile-row dp sharding (rasterize_dp)
         self.bundle_adjust = False
         self._key = jax.random.PRNGKey(config.seed)
-        self.params = self.model.init_params(self._next_key())
-        self.dead = jnp.zeros((config.model.max_gaussians,), jnp.bool_)
+        self.params = self._replicate_params(self.model.init_params(self._next_key()))
+        self.dead = self._replicate_params(jnp.zeros((config.model.max_gaussians,), jnp.bool_))
         self._opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         # keyframes: host Frame list (window ranking) + DEVICE image/pose
         # store for the fused per-frame program (rgb as uint16 — the same

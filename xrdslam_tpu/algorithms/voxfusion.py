@@ -58,12 +58,12 @@ class VoxFusion(Algorithm):
         self.model = config.model.setup(camera=camera, bounding_box=None)
         self.bundle_adjust = True
         self._key = jax.random.PRNGKey(config.seed)
-        self.model_params = self.model.init_params(self._next_key())
+        self.model_params = self._replicate_params(self.model.init_params(self._next_key()))
 
-        self.maps = empty_device_maps(
+        self.maps = self._replicate_params(empty_device_maps(
             max_voxels=config.model.max_voxels,
             max_vertices=config.model.num_embeddings,
-        )
+        ))
 
         opt_cfgs = {name: g["optimizer"] for name, g in config.optimizers.items()}
         self._opt_cfgs = opt_cfgs
@@ -101,8 +101,8 @@ class VoxFusion(Algorithm):
             def body(carry, k):
                 pose, opt_state, best = carry
                 k1, k2 = jax.random.split(k)
-                u, v = sample_pixels(k1, cfg.tracking_sample, H, W)
-                ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
+                u, v = sample_pixels(k1, self._round_to_devices(cfg.tracking_sample), H, W)
+                ui, vi = self._shard_rays(u.astype(jnp.int32), v.astype(jnp.int32))
                 td = depth[vi, ui][:, None]
                 ts = rgb[vi, ui]
                 d_cam = self._dirs[vi, ui]
@@ -188,21 +188,22 @@ class VoxFusion(Algorithm):
                     pz = pz.at[0].set(jax.lax.stop_gradient(pz[0]))
                     mp = {"embeddings": p["embeddings"], "decoder": p["decoder"]}
                     keys = jax.random.split(k1, n_frames)
+                    pixs = self._round_to_devices(cfg.mapping_sample)
                     ros, rds, tss, tds = [], [], [], []
                     for f in range(n_frames):
                         fi = self.window_slot_frame(f, n_valid, n_frames)
-                        u, v = sample_pixels(keys[f], cfg.mapping_sample, H, W)
+                        u, v = sample_pixels(keys[f], pixs, H, W)
                         ui, vi = u.astype(jnp.int32), v.astype(jnp.int32)
                         rgbd = images[fi, vi, ui]
                         Rm = lie.axis_angle_to_matrix(pz[fi, 3:])
                         rds.append(self._dirs[vi, ui] @ Rm.T)
-                        ros.append(jnp.broadcast_to(pz[fi, :3], (cfg.mapping_sample, 3)))
+                        ros.append(jnp.broadcast_to(pz[fi, :3], (pixs, 3)))
                         tss.append(rgbd[:, :3])
                         tds.append(rgbd[:, 3:4])
-                    loss, _ = model.get_loss(
-                        mp, maps, k2,
-                        jnp.concatenate(ros), jnp.concatenate(rds), jnp.concatenate(tss), jnp.concatenate(tds),
-                    )
+                    ro, rd, ts, td = self._shard_rays(
+                        jnp.concatenate(ros), jnp.concatenate(rds),
+                        jnp.concatenate(tss), jnp.concatenate(tds))
+                    loss, _ = model.get_loss(mp, maps, k2, ro, rd, ts, td)
                     return loss
 
                 loss, g = jax.value_and_grad(loss_fn)(ap)

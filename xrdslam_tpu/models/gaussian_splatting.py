@@ -111,6 +111,9 @@ class GaussianSplatting(Model):
         self.n_gauss = 0
         self.scene_radius = 1.0
         self._f = 0.5 * (camera.fx + camera.fy)
+        # multi-chip: set by the owning Algorithm (devices>1). Rendering
+        # then shards tile rows over the mesh 'dp' axis (rasterize_dp).
+        self.mesh = None
 
     def init_params(self, key: jax.Array) -> Dict[str, Any]:
         g = self.config.max_gaussians
@@ -156,7 +159,13 @@ class GaussianSplatting(Model):
             ],
             -1,
         )
-        img = rasterize(u, v, sigma, opacity, ch, binning[0], binning[1], ntx, nty)
+        if self.mesh is not None:
+            from ..ops.gaussian_raster import rasterize_dp
+
+            img = rasterize_dp(self.mesh, u, v, sigma, opacity, ch,
+                               binning[0], binning[1], ntx, nty)
+        else:
+            img = rasterize(u, v, sigma, opacity, ch, binning[0], binning[1], ntx, nty)
         img = img[: cam.height, : cam.width]
         return {
             "rgb": img[..., :3],

@@ -390,3 +390,120 @@ def _raster_bwd(ntx, nty, res, gout):
 
 
 rasterize.defvjp(_raster_fwd, _raster_bwd)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: tile-row-sharded rasterization (SURVEY.md §2.8 — SplaTAM's
+# per-pixel work shards over image tiles the way ray algorithms shard rays)
+# ---------------------------------------------------------------------------
+#
+# The Pallas kernels derive a tile's pixel origin from the GLOBAL
+# program_id, which restarts per shard under shard_map. Rather than
+# plumbing a tile offset into the kernels, shards split the image by TILE
+# ROWS and shift the gaussians' v coordinate by the shard's pixel-row
+# origin — the per-shard kernel then renders a correctly-registered
+# sub-image with its local ids. Per-gaussian gradients are partial sums
+# over each shard's tiles and psum over 'dp' in the explicit VJP.
+
+def _dp_specs(n):
+    from jax.sharding import PartitionSpec as P
+
+    return tuple([P()] * n)
+
+
+def rasterize_dp(mesh, u, v, sigma, opacity, channels, tile_ids, tile_mask,
+                 ntx, nty):
+    """Sharded :func:`rasterize`: tile rows split over the mesh 'dp' axis.
+
+    Semantically identical to the single-device path (same compositing,
+    same gradients up to f32 reduction order); tile_ids/tile_mask arrive
+    as the usual [nty*ntx, K] global binning and are padded to a
+    row-divisible count here.
+    """
+    d = mesh.shape["dp"]
+    nty_pad = ((nty + d - 1) // d) * d
+    T, K = tile_ids.shape
+    pad_t = nty_pad * ntx - T
+    if pad_t:
+        tile_ids = jnp.concatenate(
+            [tile_ids, jnp.zeros((pad_t, K), tile_ids.dtype)])
+        tile_mask = jnp.concatenate(
+            [tile_mask, jnp.zeros((pad_t, K), tile_mask.dtype)])
+    rows_per = nty_pad // d
+    out = _raster_dp(mesh, ntx, rows_per)(
+        u, v, sigma, opacity, channels, tile_ids, tile_mask)
+    return out  # [nty_pad*TILE, ntx*TILE, N_CH]; caller slices to H, W
+
+
+@functools.lru_cache(maxsize=None)
+def _raster_dp(mesh, ntx: int, rows_per: int):
+    import inspect
+
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+    # rep/vma checking must be off (the body is a Pallas call, opaque to
+    # the replication checker); the kwarg was renamed check_rep->check_vma
+    _kw = ("check_vma" if "check_vma" in inspect.signature(_sm).parameters
+           else "check_rep")
+
+    def shard_map(f, **kwargs):
+        return _sm(f, **{**kwargs, _kw: False})
+
+    from jax.sharding import PartitionSpec as P
+
+    def fwd_body(u, v, sigma, opacity, channels, ti, tm):
+        voff = (jax.lax.axis_index("dp") * (rows_per * TILE)).astype(v.dtype)
+        return _raster_fwd_impl(u, v - voff, sigma, opacity, channels,
+                                (ti, tm), ntx, rows_per)
+
+    fwd_sm = shard_map(
+        fwd_body, mesh=mesh,
+        in_specs=_dp_specs(5) + (P("dp"), P("dp")),
+        out_specs=P("dp"))
+
+    def bwd_body(u, v, sigma, opacity, channels, ti, tm, gt_local):
+        voff = (jax.lax.axis_index("dp") * (rows_per * TILE)).astype(v.dtype)
+        tiled = _pack_tile_data(u, v - voff, sigma, opacity, channels, ti, tm)
+        n_tiles, _, K = tiled.shape
+        gt = gt_local.reshape(rows_per, TILE, ntx, TILE, N_CH).transpose(
+            0, 2, 1, 3, 4).reshape(n_tiles, TILE * TILE, N_CH)
+        dg = _pallas_call(
+            functools.partial(_bwd_kernel, ntx=ntx),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
+        )(tiled, gt)
+        flat_idx = ti.reshape(-1)
+        flat_dg = (dg.transpose(0, 2, 1) * tm[..., None]).reshape(-1, 16)
+        acc = scatter_add_matmul(flat_idx, flat_dg, u.shape[0])  # [G, 16]
+        return jax.lax.psum(acc, "dp")
+
+    bwd_sm = shard_map(
+        bwd_body, mesh=mesh,
+        in_specs=_dp_specs(5) + (P("dp"), P("dp"), P("dp")),
+        out_specs=P())
+
+    @jax.custom_vjp
+    def fn(u, v, sigma, opacity, channels, tile_ids, tile_mask):
+        return fwd_sm(u, v, sigma, opacity, channels, tile_ids, tile_mask)
+
+    def fn_fwd(u, v, sigma, opacity, channels, tile_ids, tile_mask):
+        out = fwd_sm(u, v, sigma, opacity, channels, tile_ids, tile_mask)
+        return out, (u, v, sigma, opacity, channels, tile_ids, tile_mask)
+
+    def fn_bwd(res, gout):
+        u, v, sigma, opacity, channels, tile_ids, tile_mask = res
+        acc = bwd_sm(u, v, sigma, opacity, channels, tile_ids, tile_mask, gout)
+        ft0 = jax.dtypes.float0
+        return (acc[:, 0], acc[:, 1], acc[:, 2], acc[:, 3],
+                acc[:, 5 : 5 + N_CH],
+                np.zeros(tile_ids.shape, ft0), np.zeros(tile_mask.shape, ft0))
+
+    fn.defvjp(fn_fwd, fn_bwd)
+    return fn
