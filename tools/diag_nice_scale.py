@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--track-lr", type=float, default=0.0)
     ap.add_argument("--hedge", type=int, default=-1)
     ap.add_argument("--map-iters", type=int, default=0)
+    ap.add_argument("--map-every", type=int, default=0)
+    ap.add_argument("--kf-every", type=int, default=0)
     args = ap.parse_args()
     frames = args.frames
     if args.no_super:
@@ -73,6 +75,10 @@ def main():
         a.tracking_Wedge = args.hedge
     if args.map_iters:
         a.mapping_n_iters = args.map_iters
+    if args.map_every:
+        cfg.tracker.map_every = args.map_every
+    if args.kf_every:
+        cfg.mapper.keyframe_every = args.kf_every
     print(f"[diag] track iters={a.tracking_n_iters} sample={a.tracking_sample} "
           f"lr={a.optimizers['tracking_pose']['optimizer'].lr} "
           f"hedge={a.tracking_Hedge} map_iters={a.mapping_n_iters}", flush=True)
