@@ -141,7 +141,14 @@ class Algorithm:
                 print(f"[slam] debug dump failed: {e}", file=sys.stderr, flush=True)
 
     def update_framepose(self, idx: int, c2w: np.ndarray) -> None:
-        self.estimate_c2w_list[idx] = np.asarray(c2w)
+        c2w = np.asarray(c2w)
+        if not np.isfinite(c2w).all():
+            # same sanitization as add_framepose: a non-finite refinement
+            # must not overwrite the (already finite) list entry — the
+            # const-velocity predictor reads it next frame
+            self._on_nonfinite_pose(idx, c2w)
+            return
+        self.estimate_c2w_list[idx] = c2w
 
     def get_estimate_c2w_list(self) -> List[np.ndarray]:
         return self.estimate_c2w_list

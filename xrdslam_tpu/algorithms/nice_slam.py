@@ -208,7 +208,17 @@ class NiceSLAM(Algorithm):
                 best_loss, best_pose = best
                 better = loss < best_loss
                 best = (jnp.where(better, loss, best_loss), jnp.where(better, pvars["tracking_pose"], best_pose))
+                # finite guard: one bad sample batch must not poison the
+                # remaining scan iterations (NaN grads -> NaN pose forever)
+                g = jax.tree_util.tree_map(
+                    lambda x: jnp.where(jnp.isfinite(loss), x, 0.0), g)
                 pvars, opt_state = opt.update(g, opt_state, pvars)
+                # keep the 7-vector on the quaternion manifold: Adam at the
+                # protocol-scale lr (3e-3 x 50 iters) denormalizes |q| enough
+                # to destabilize the loss surface without this projection
+                pq = pvars["tracking_pose"]
+                qn = jnp.linalg.norm(pq[3:]).clip(1e-8)
+                pvars = {"tracking_pose": jnp.concatenate([pq[:3], pq[3:] / qn])}
                 return (pvars, opt_state, best), loss
 
             keys = jax.random.split(key, cfg.tracking_n_iters)
@@ -264,7 +274,15 @@ class NiceSLAM(Algorithm):
                         for gn in grid_names:
                             if gn in g and gn in masks:
                                 g[gn] = g[gn] * masks[gn]
+                    # finite guard (see track_step): skip the update on a
+                    # non-finite loss rather than poisoning grids + poses
+                    g = jax.tree_util.tree_map(
+                        lambda x: jnp.where(jnp.isfinite(loss), x, 0.0), g)
                     ap, opt_state = opt.update(g, opt_state, ap)
+                    if "pose" in ap:
+                        pz = ap["pose"]
+                        qn = jnp.linalg.norm(pz[:, 3:], axis=-1, keepdims=True).clip(1e-8)
+                        ap["pose"] = jnp.concatenate([pz[:, :3], pz[:, 3:] / qn], -1)
                     return (ap, opt_state), loss
 
                 keys = jax.random.split(jax.random.fold_in(key, hash(stage) % 1000), steps)
@@ -272,6 +290,11 @@ class NiceSLAM(Algorithm):
 
             new_params = {**params, **{g: all_params[g] for g in all_params if g != "pose"}}
             new_poses = all_params.get("pose", poses)
+            # belt-and-braces: never let a non-finite optimized pose escape
+            # into the keyframe table / pipeline (the guards above should
+            # make this a no-op, but a NaN pose cascades into a hard crash
+            # at Frame construction ~5 frames later)
+            new_poses = jnp.where(jnp.isfinite(new_poses), new_poses, poses)
             return new_params, new_poses
 
         self._map_step_raw = map_step
