@@ -75,7 +75,11 @@ def build_pipeline(encoding: str, ds, out_dir: str, seed: int = 0):
                 triplane_features=tuple(int(v) for v in os.environ.get(
                     "XRDSLAM_BENCH_TP_FEATURES", "8,8").split(",")),
                 triplane_resolutions=tuple(int(v) for v in os.environ.get(
-                    "XRDSLAM_BENCH_TP_RES", "128,512").split(","))),
+                    "XRDSLAM_BENCH_TP_RES", "128,512").split(",")),
+                # samples-per-ray levers (tools/perf_levers.py sweep —
+                # roofline says encode cost scales with rays x samples)
+                training_n_sample_d=int(os.environ.get("XRDSLAM_BENCH_NSD", "32")),
+                training_n_range_d=int(os.environ.get("XRDSLAM_BENCH_NRD", "11"))),
             optimizers=opts,
         ),
     )
