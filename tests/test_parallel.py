@@ -277,3 +277,84 @@ def test_splatam_tile_dp_parity():
     np.testing.assert_allclose(c1_a, c1_b, atol=5e-4)
     scale = np.abs(leaf_a).max() + 1e-9
     np.testing.assert_allclose(leaf_a / scale, leaf_b / scale, atol=2e-3)
+
+
+# ---------------------------------------------------------------- DPVO
+def _run_dpvo(devices: int):
+    """Short DPVO pipeline; only the padded-edge update program shards
+    (edges over 'dp'), so pose parity checks the whole dp chain:
+    reproject -> correlation -> update operator -> GN BA."""
+    import tempfile
+
+    from xrdslam_tpu.algorithms.dpvo import DPVOConfig
+    from xrdslam_tpu.pipeline.slam import (MapperConfig, SLAMPipelineConfig,
+                                           TrackerConfig)
+
+    ds = SyntheticDataset(n_frames=8, height=64, width=80)
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=-1, render_freq=-1,
+                              save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=100),
+        algorithm=DPVOConfig(
+            patch_per_frame=8, patch_lifetime=4, init_frame_num=4,
+            optimization_window=5, removal_window=6, keyframe_index=2,
+            keyframe_thresh=0.01, buffer_size=64, mem=12, edge_chunk=256,
+            motion_init_thresh=0.0, devices=devices,
+        ),
+    )
+    pipe = cfg.setup(dataset=ds, out_dir=tempfile.mkdtemp(), verbose=False)
+    pipe.run()
+    algo = pipe.algorithm
+    return (np.stack(algo.estimate_c2w_list),
+            algo.patches[:algo.n].reshape(-1, 3)[:512])
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8-device mesh")
+def test_dpvo_edge_dp_parity():
+    poses_a, patch_a = _run_dpvo(1)
+    poses_b, patch_b = _run_dpvo(8)
+    assert np.isfinite(poses_b).all()
+    np.testing.assert_allclose(poses_a, poses_b, atol=5e-4)
+    scale = np.abs(patch_a).max() + 1e-9
+    np.testing.assert_allclose(patch_a / scale, patch_b / scale, atol=2e-3)
+
+
+# ---------------------------------------------------------- NeuralRecon
+def _run_neucon(devices: int):
+    """One fused fragment; views shard over 'dp' (V zero-padded to the
+    mesh size), volume contributions psum'd by XLA."""
+    import tempfile
+
+    from xrdslam_tpu.algorithms.neural_recon import NeuralReconConfig
+    from xrdslam_tpu.models.neucon import NeuConModelConfig
+    from xrdslam_tpu.pipeline.slam import (MapperConfig, SLAMPipelineConfig,
+                                           TrackerConfig)
+
+    ds = SyntheticDataset(n_frames=5, height=48, width=64)
+    cfg = SLAMPipelineConfig(
+        tracker=TrackerConfig(map_every=1, render_freq=-1,
+                              use_relative_pose=False,
+                              save_re_render_result=False),
+        mapper=MapperConfig(keyframe_every=100),
+        algorithm=NeuralReconConfig(
+            mapping_window_size=3, min_angle=0.0, min_distance=0.0,
+            max_depth=3.0, img_size_w=64, img_size_h=48,
+            model=NeuConModelConfig(n_vox=32, voxel_size=0.15),
+            devices=devices,
+        ),
+    )
+    pipe = cfg.setup(dataset=ds, out_dir=tempfile.mkdtemp(), verbose=False)
+    pipe.run()
+    algo = pipe.algorithm
+    assert algo.fragment_id >= 1
+    return algo.tsdf_vol.data.copy(), algo.hidden_vols[-1].data.copy()
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8-device mesh")
+def test_neucon_view_dp_parity():
+    tsdf_a, hid_a = _run_neucon(1)
+    tsdf_b, hid_b = _run_neucon(8)
+    assert np.isfinite(tsdf_b).all()
+    np.testing.assert_allclose(tsdf_a, tsdf_b, atol=1e-3)
+    scale = np.abs(hid_a).max() + 1e-9
+    np.testing.assert_allclose(hid_a / scale, hid_b / scale, atol=2e-3)

@@ -61,7 +61,8 @@ def test_intersect_and_sample_geometry():
     maps = vm.device_state()
     rays_o = jnp.asarray([[0.0, 0.05, 0.05], [0.0, 5.0, 5.0]])
     rays_d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
-    z, dt, vox, smask, ray_mask = model.intersect_and_sample(maps, rays_o, rays_d, jax.random.PRNGKey(0))
+    z, dt, vox, smask, ray_mask, seg_vox = model.intersect_and_sample(
+        maps, rays_o, rays_d, jax.random.PRNGKey(0))
     assert bool(ray_mask[0]) and not bool(ray_mask[1])
     zs = np.asarray(z[0])[np.asarray(smask[0]) > 0]
     assert zs.min() >= 1.0 - 1e-4 and zs.max() <= 1.2 + 1e-4  # inside the voxel slab

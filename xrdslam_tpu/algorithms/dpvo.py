@@ -262,7 +262,7 @@ class DPVO(Algorithm):
                 functools.partial(self._update_impl, E=E, probe=probe,
                                   W=self.W_BA, M=self.M, mem=self.mem,
                                   chunk=self.config.edge_chunk,
-                                  iters=2),
+                                  iters=2, mesh=self.mesh),
             )
         return self._update_steps[key]
 
@@ -271,13 +271,34 @@ class DPVO(Algorithm):
                      poses_t, poses_q, patches, intrinsics,
                      ii_l, jj_l, kk_l, kk_mem, jj_mem,
                      seg_kk, seg_ij, ix, jx, mask, t0, *,
-                     E, probe, W, M, mem, chunk, iters):
+                     E, probe, W, M, mem, chunk, iters, mesh=None):
         """One DPVO update on the padded edge table (dpvo.py:324-355).
 
         All index args are window-local: poses/patches are the W-frame
         window; kk_mem / jj_mem index the device rings.
+
+        Multi-chip (``DPVOConfig(devices=N)``): the E padded edges shard
+        over the 'dp' mesh axis — reprojection, two-level correlation and
+        the update operator's per-edge MLP/GRU are independent per edge;
+        XLA inserts collectives for the cross-edge pieces (SoftAgg segment
+        softmax, ix/jx neighbor gathers, BA's segment-summed pose blocks).
+        E is a multiple of edge_chunk (2048), so it always divides 'dp'.
         """
         from ..models.vonet import update_apply
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s_e = NamedSharding(mesh, P("dp"))
+
+            def _se(*xs):
+                out = tuple(jax.lax.with_sharding_constraint(x, s_e)
+                            for x in xs)
+                return out if len(out) > 1 else out[0]
+
+            (net, ii_l, jj_l, kk_l, kk_mem, jj_mem, seg_kk, seg_ij,
+             ix, jx, mask) = _se(net, ii_l, jj_l, kk_l, kk_mem, jj_mem,
+                                 seg_kk, seg_ij, ix, jx, mask)
 
         P = patches.shape[2]
         # one (u, v, inv_depth) per patch — the BA's depth variable is the

@@ -155,7 +155,28 @@ class NeuralRecon(Algorithm):
         self.tsdf_vol = _GlobalVolume(0, fill=1.0)
         self.occ_vol = _GlobalVolume(0, fill=0.0)
         self.params = jax.device_put(self.model.params)
-        self._frag_jit = jax.jit(self.model.fragment_step)
+        if self.mesh is not None:
+            # view-DP fragment step: the V independent views (2D backbone +
+            # back-projection) shard over 'dp'; XLA psums the per-view
+            # volume contributions and the 3D U-Net/GRU run replicated.
+            # do_mapping zero-pads V to the mesh size (zero projection
+            # matrices -> z=0 -> no in-bounds samples, so pad views
+            # contribute nothing; backbone norm is per-view, _norm2d).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s_img = NamedSharding(self.mesh, P("dp"))
+            s_prj = NamedSharding(self.mesh, P(None, "dp"))
+            model = self.model
+
+            def frag(params, imgs, projs, vol_origin, hiddens, aligned_T):
+                imgs = jax.lax.with_sharding_constraint(imgs, s_img)
+                projs = jax.lax.with_sharding_constraint(projs, s_prj)
+                return model.fragment_step(params, imgs, projs, vol_origin,
+                                           hiddens, aligned_T)
+
+            self._frag_jit = jax.jit(frag)
+        else:
+            self._frag_jit = jax.jit(self.model.fragment_step)
 
     # ------------------------------------------------------------- poses
     def do_tracking(self, cur_frame) -> Optional[np.ndarray]:
@@ -249,6 +270,16 @@ class NeuralRecon(Algorithm):
         mc = self.model.config
         imgs, projs, vol_origin, origin_vox, aligned_T = \
             self._fragment_inputs(self.frag_frames)
+        # multi-chip: zero-pad the view axis to the mesh size (pad views
+        # have zero projections -> zero back-projection contribution)
+        vp = self._round_to_devices(imgs.shape[0])
+        if vp > imgs.shape[0]:
+            pad = vp - imgs.shape[0]
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+            projs = np.concatenate(
+                [projs, np.zeros((projs.shape[0], pad) + projs.shape[2:],
+                                 projs.dtype)], axis=1)
 
         # crop per-scale global hidden states
         hiddens = []

@@ -293,9 +293,12 @@ class NiceSLAM(Algorithm):
             # belt-and-braces: never let a non-finite optimized pose escape
             # into the keyframe table / pipeline (the guards above should
             # make this a no-op, but a NaN pose cascades into a hard crash
-            # at Frame construction ~5 frames later)
+            # at Frame construction ~5 frames later). The clamp count is
+            # returned so the host can WARN when it fires — silent clamping
+            # would hide optimization regressions (VERDICT r4 item #6).
+            bad = jnp.any(~jnp.isfinite(new_poses), axis=-1)
             new_poses = jnp.where(jnp.isfinite(new_poses), new_poses, poses)
-            return new_params, new_poses
+            return new_params, new_poses, jnp.sum(bad.astype(jnp.int32))
 
         self._map_step_raw = map_step
 
@@ -334,7 +337,7 @@ class NiceSLAM(Algorithm):
             wn = cfg.mapping_window_size + 1
             images, poses = window_arrays(kf_images, kf_pose, fine_slots,
                                           n_valid_f, cur_img, best, wn)
-            params, new_poses = map_step(
+            params, new_poses, n_clamped = map_step(
                 params, images, poses, masks, n_valid_f, keys[group],
                 n_frames=wn, n_iters=n_iters, lr_factor=lr_factor,
                 optimize_pose=optimize_pose, coarse=False)
@@ -347,10 +350,11 @@ class NiceSLAM(Algorithm):
                 wc = cfg.mapping_window_size
                 images_c, poses_c = window_arrays(kf_images, kf_pose, coarse_slots,
                                                   n_valid_c, cur_img, cur_pose, wc)
-                params, _ = map_step(
+                params, _, ncl_c = map_step(
                     params, images_c, poses_c, {}, n_valid_c, keys[group + 1],
                     n_frames=wc, n_iters=n_iters, lr_factor=lr_factor,
                     optimize_pose=False, coarse=True)
+                n_clamped = n_clamped + ncl_c
             if do_kf:
                 kf_images = kf_images.at[kf_slot].set(cur_img)
                 kf_pose = kf_pose.at[kf_slot].set(cur_pose)
@@ -366,7 +370,8 @@ class NiceSLAM(Algorithm):
                 tail_body, (cur_pose, prev_pose),
                 (rgbs[1:], depths[1:], keys[1:group]))
             all_poses = jnp.concatenate([cur_pose[None], tail], 0)
-            return (params, kf_images, kf_pose, all_poses[:, :3], all_poses[:, 3:])
+            return (params, kf_images, kf_pose, all_poses[:, :3],
+                    all_poses[:, 3:], n_clamped)
 
         self._fused_raw = fused_step
         self._fused_variants: Dict[Tuple, Any] = {}
@@ -488,9 +493,10 @@ class NiceSLAM(Algorithm):
             )
             optimize_pose = self.kf_count > 4 and not refine
             fn = self._map_variant(window_size + 1, n_iters, lr_factor, optimize_pose, False)
-            self.model_params, new_poses = fn(
+            self.model_params, new_poses, n_clamped = fn(
                 self.model_params, images, poses, masks,
                 jnp.asarray(n_valid, jnp.int32), self._next_key())
+            self._warn_clamped(n_clamped)
             new_poses = np.asarray(new_poses)
             if optimize_pose:
                 for j, s in enumerate(slots):
@@ -508,7 +514,7 @@ class NiceSLAM(Algorithm):
             images, poses = self._gather_window(slots, cur_frame, cur_pose,
                                                 pad_to=cfg.mapping_window_size)
             fn = self._map_variant(cfg.mapping_window_size, n_iters, lr_factor, False, True)
-            self.model_params, _ = fn(
+            self.model_params, _, _ = fn(
                 self.model_params, images, poses, {},
                 jnp.asarray(len(slots) + 1, jnp.int32), self._next_key())
 
@@ -581,7 +587,8 @@ class NiceSLAM(Algorithm):
             fine_slots, coarse_slots, jnp.asarray(n_valid_f, jnp.int32),
             jnp.asarray(n_valid_c, jnp.int32), p1, p2, self._next_key(),
             jnp.asarray(kf_slot, jnp.int32))
-        self.model_params, self.kf_images, self.kf_pose, pt, pq = out
+        (self.model_params, self.kf_images, self.kf_pose, pt, pq,
+         n_clamped) = out
         if do_kf:
             self.kf_count += 1
             self.keyframe_fids.append(cur.fid)
@@ -589,12 +596,27 @@ class NiceSLAM(Algorithm):
         if not hasattr(self, "_kf_slot_fifo"):
             self._kf_slot_fifo = []
         self._kf_slot_fifo.append(kf_slot if do_kf else None)
-        return (pt, pq)
+        return (pt, pq, n_clamped)
+
+    def _warn_clamped(self, n_clamped) -> None:
+        """Surface in-jit non-finite pose clamps (fc3586e guards) — silent
+        clamping would hide an optimization regression."""
+        n = int(n_clamped)
+        if n:
+            import sys
+
+            total = getattr(self, "_clamped_poses", 0) + n
+            self._clamped_poses = total
+            if total <= 50 or total % 50 == 0:
+                print(f"[nice-slam] WARNING: clamped {n} non-finite mapped "
+                      f"pose(s) back to inputs (total {total})",
+                      file=sys.stderr, flush=True)
 
     def finish_superstep(self, handle) -> List[np.ndarray]:
         from ..ops import lie_np
 
-        pt, pq = jax.device_get(handle)
+        pt, pq, n_clamped = jax.device_get(handle)
+        self._warn_clamped(n_clamped)
         slot = self._kf_slot_fifo.pop(0)
         if slot is not None:
             self.kf_pose_host[slot] = np.concatenate([pt[0], pq[0]])

@@ -99,6 +99,17 @@ def _norm(x, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps)
 
 
+def _norm2d(x, eps=1e-5):
+    """Per-VIEW instance norm for the 2D backbone ([V, h, w, C] -> stats
+    over spatial axes only). Keeping each view's statistics independent
+    makes the backbone embarrassingly parallel over the view axis — the
+    multi-chip fragment path shards views over the 'dp' mesh axis and
+    zero-pads V to the mesh size, which must not perturb real views."""
+    mu = x.mean((1, 2), keepdims=True)
+    var = x.var((1, 2), keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
 # --------------------------------------------------------------- backbone
 def backbone2d_init(key) -> Dict:
     """Depthwise-separable trunk + FPN (backbone.py:28-85 interface)."""
@@ -135,10 +146,10 @@ def backbone2d_apply(params, imgs) -> List[jnp.ndarray]:
 
     def sep(p, x, stride=1):
         c = x.shape[-1]
-        y = jax.nn.relu(_norm(_conv2d(p["dw"], x, stride, groups=c)))
-        return jax.nn.relu(_norm(_conv2d(p["pw"], y)))
+        y = jax.nn.relu(_norm2d(_conv2d(p["dw"], x, stride, groups=c)))
+        return jax.nn.relu(_norm2d(_conv2d(p["pw"], y)))
 
-    x = jax.nn.relu(_norm(_conv2d(params["stem"], x, stride=2)))
+    x = jax.nn.relu(_norm2d(_conv2d(params["stem"], x, stride=2)))
     x = sep(params["b1"], x)
     c4 = sep(params["b2b"], sep(params["b2"], x, stride=2))  # 1/4, 24
     c8 = sep(params["b3b"], sep(params["b3"], c4, stride=2))  # 1/8, 40

@@ -167,15 +167,39 @@ class SparseVoxel(Model):
         mask = mask.reshape(n, -1)
         vox = jnp.broadcast_to(hit_vox[..., None], (n, c.max_voxel_hit, spv)).reshape(n, -1)
         ray_mask = seg_valid.any(-1)
-        return z, dt, jnp.where(mask, vox, 0), mask.astype(jnp.float32), ray_mask
+        # hit_vox (one id per SEGMENT) rides along so render_rays can gather
+        # corner embeddings once per segment instead of once per sample
+        return (z, dt, jnp.where(mask, vox, 0), mask.astype(jnp.float32),
+                ray_mask, jnp.where(seg_valid, hit_vox, 0))
 
     # ------------------------------------------------------------------
     def render_rays(self, params, maps, key, rays_o, rays_d, target_d=None) -> Dict[str, jnp.ndarray]:
         c = self.config
-        z, dt, vox, smask, ray_mask = self.intersect_and_sample(maps, rays_o, rays_d, key)
+        (z, dt, vox, smask, ray_mask,
+         seg_vox) = self.intersect_and_sample(maps, rays_o, rays_d, key)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
         n, s = z.shape
-        emb = self.interp_embeddings(params, maps, vox.reshape(-1), pts.reshape(-1, 3))
+        # Segment-factored trilinear interpolation: the ``spv`` stratified
+        # samples of a segment live in ONE voxel, so gather that voxel's 8
+        # corner embeddings once ([N,K,8,F] rows — spv x fewer gather rows
+        # and spv x fewer scatter-add rows in the VJP than the per-sample
+        # path, which dominated the Vox-Fusion mapping iteration at
+        # protocol scale: 6k rays x 200 samples x 8 verts = 10M table
+        # updates/iter), then blend per sample on the MXU via einsum.
+        # Identical math to interp_embeddings (kept for point queries).
+        K, spv = c.max_voxel_hit, c.samples_per_voxel
+        vert_idx = jnp.take(maps["vox_vertex_idx"], seg_vox, axis=0)  # [N,K,8]
+        feats = table_lookup(params["embeddings"]["table"],
+                             vert_idx.reshape(-1), self._use_opt)
+        feats = feats.reshape(n, K, 8, -1)
+        coords = jnp.take(maps["vox_coords"], seg_vox, axis=0).astype(jnp.float32)
+        p = pts.reshape(n, K, spv, 3) / c.voxel_size - coords[:, :, None, :]
+        p = jnp.clip(p, 0.0, 1.0)
+        q = jnp.asarray(CORNERS, jnp.float32)  # [8, 3]
+        w = jnp.prod(p[:, :, :, None, :] * q[None, None, None]
+                     + (1.0 - p[:, :, :, None, :]) * (1.0 - q[None, None, None]),
+                     -1)  # [N,K,spv,8]
+        emb = jnp.einsum("nksc,nkcf->nksf", w, feats).reshape(n * s, -1)
         rgb, sdf = self.decode(params["decoder"], emb)
         rgb = rgb.reshape(n, s, 3)
         sdf = sdf.reshape(n, s)

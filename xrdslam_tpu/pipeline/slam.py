@@ -280,7 +280,7 @@ class SLAMPipeline:
             prev2 = self._dev_pose_hist[-2] if len(self._dev_pose_hist) >= 2 else self._dev_pose_hist[-1]
             handle = algo.dispatch_superstep(
                 frames, do_kf, prev_tr=self._dev_pose_hist[-1], prev2_tr=prev2)
-        pt, pr = handle
+        pt, pr = handle[0], handle[1]
         for j in range(pt.shape[0]):
             self._dev_pose_hist.append((pt[j], pr[j]))
         self._dev_pose_hist = self._dev_pose_hist[-2:]
