@@ -131,9 +131,14 @@ def tiny_nice_pipeline_config():
 
 
 def test_nice_slam_fused_pipeline():
-    """NICE-SLAM through the pipeline with the fused group super-step."""
+    """NICE-SLAM through the pipeline with the fused group super-step.
+
+    Gate: measured actual is 0.42 cm (round 5); 1.5 cm = ~3.5x headroom
+    for the config's measured chaotic sensitivity (see
+    test_parallel.test_nice_slam_ray_dp_parity) while still catching the
+    round-4 class of regression (which was 20+ cm)."""
     pipe, ds, res = _run(tiny_nice_pipeline_config(), n_frames=8)
-    assert res["rmse"] * 100 < 10.0
+    assert res["rmse"] * 100 < 1.5
     assert pipe.algorithm._fused_variants, "fused super-step path not taken"
 
 

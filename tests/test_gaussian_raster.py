@@ -95,3 +95,30 @@ def test_binning_covers_all_pixels(gr):
         if k > 1:
             d = depth[b.tile_ids[t, :k]]
             assert (np.diff(d) >= 0).all()
+
+
+def test_tile_block_parity(gr, monkeypatch):
+    """TB>1 (multi-tile grid steps, incl. a non-divisible tile count that
+    exercises the padding path) is bit-identical to TB=1."""
+    H, W = 48, 80  # 3x5 = 15 tiles: not divisible by TB=4
+    u, v, depth, sigma, op, ch = _scene(H, W, G=120, seed=3)
+    b = gr.bin_gaussians(u, v, depth, 3 * sigma, np.ones(len(u), bool), H, W, k_per_tile=64)
+    args = tuple(map(jnp.asarray, (u, v, sigma, op, ch)))
+    gcot = jnp.asarray(np.random.RandomState(4).rand(b.n_tiles_y * 16, b.n_tiles_x * 16, 8).astype(np.float32))
+
+    def run():
+        def loss(u_, v_, s_, o_, c_):
+            out = gr.rasterize(u_, v_, s_, o_, c_, jnp.asarray(b.tile_ids),
+                               jnp.asarray(b.tile_mask), b.n_tiles_x, b.n_tiles_y)
+            return jnp.sum(out * gcot), out
+
+        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+        return out, grads
+
+    monkeypatch.setattr(gr, "_TB", 1)
+    out1, g1 = run()
+    monkeypatch.setattr(gr, "_TB", 4)
+    out4, g4 = run()
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out4))
+    for a, c in zip(g1, g4):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -50,6 +50,15 @@ TILE = 16  # pixels per tile side
 ALPHA_MAX = 0.99
 N_CH = 8  # rgb(3), depth, sil, depth_sq, spare, spare
 
+# Tiles rendered per Pallas grid step. The per-tile math is ~5 us but a
+# grid step costs ~43 us measured on v5e (launch + DMA latency dominate at
+# [1, 16, K] block sizes), so batching TB tiles into one step amortizes
+# the fixed cost. The kernel loop over the block is a *static* Python
+# unroll — same math per tile, identical results for any TB.
+import os as _os
+
+_TB = max(int(_os.environ.get("XRDSLAM_RASTER_TB", "1")), 1)
+
 
 class TileBinning(NamedTuple):
     """Static-shape per-tile gaussian lists (host-built)."""
@@ -227,85 +236,91 @@ def _transmittance(alpha):
     return jnp.exp(_cumsum_scan(log1m, exclusive=True))
 
 
-def _fwd_kernel(g_ref, out_ref, *, ntx: int):
-    """g_ref [1, 16, K]: per-tile gaussian data transposed (attribute rows:
-    u, v, sigma, opacity, mask, ch0..7, pad). out [1, N_CH, P] —
+def _fwd_kernel(g_ref, out_ref, *, ntx: int, tb: int):
+    """g_ref [tb, 16, K]: per-tile gaussian data transposed (attribute rows:
+    u, v, sigma, opacity, mask, ch0..7, pad). out [tb, N_CH, P] —
     CHANNEL-major: a pixel-major [P, 8] block would put 8 in the lane
     dimension and waste 15/16 of every vector register/store (Mosaic
     pads the minor dim to 128 lanes); channel-major keeps the 256 pixels
-    on lanes and the 8 channels on sublanes, a perfect f32 tile."""
-    tile_idx = pl.program_id(0)
-    px, py = _pixel_grid(tile_idx, ntx)
-    g = g_ref[0]  # [16, K]
-    gu, gv, gsig, gop = g[0:1, :], g[1:2, :], g[2:3, :], g[3:4, :]
-    gmask = g[4:5, :] > 0.5
-    alpha = _alphas(gu, gv, gsig, gop, gmask, px, py)  # [P, K]
-    T = _transmittance(alpha)
-    w = alpha * T  # [P, K]
-    ch = g[5 : 5 + N_CH, :]  # [N_CH, K]
-    out_ref[0] = jax.lax.dot_general(
-        ch, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    on lanes and the 8 channels on sublanes, a perfect f32 tile.
+
+    ``tb`` tiles per grid step (static unroll) amortize the ~43 us fixed
+    grid-step cost over tb tiles."""
+    base = pl.program_id(0) * tb
+    for t in range(tb):
+        px, py = _pixel_grid(base + t, ntx)
+        g = g_ref[t]  # [16, K]
+        gu, gv, gsig, gop = g[0:1, :], g[1:2, :], g[2:3, :], g[3:4, :]
+        gmask = g[4:5, :] > 0.5
+        alpha = _alphas(gu, gv, gsig, gop, gmask, px, py)  # [P, K]
+        T = _transmittance(alpha)
+        w = alpha * T  # [P, K]
+        ch = g[5 : 5 + N_CH, :]  # [N_CH, K]
+        out_ref[t] = jax.lax.dot_general(
+            ch, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
 
-def _bwd_kernel(g_ref, gout_ref, dg_ref, *, ntx: int):
+def _bwd_kernel(g_ref, gout_ref, dg_ref, *, ntx: int, tb: int):
     """Gradients wrt per-tile gaussian data (transposed layout [16, K]).
-    gout arrives CHANNEL-major [1, N_CH, P] for the same lane-utilization
-    reason as the forward's output."""
-    tile_idx = pl.program_id(0)
-    px, py = _pixel_grid(tile_idx, ntx)
-    g = g_ref[0]  # [16, K]
-    gu, gv, gsig, gop = g[0:1, :], g[1:2, :], g[2:3, :], g[3:4, :]
-    gmask = g[4:5, :] > 0.5
-    ch = g[5 : 5 + N_CH, :]  # [C, K]
-    du = px - gu  # [P, K]
-    dv = py - gv
-    sig2 = jnp.maximum(gsig * gsig, 1e-12)  # [1, K]
-    inv2s2 = 0.5 / sig2
-    r2 = du * du + dv * dv
-    gauss = jnp.exp(-r2 * inv2s2)
-    raw_alpha = gop * gauss
-    clamped = raw_alpha > ALPHA_MAX
-    alpha = jnp.where(gmask, jnp.clip(raw_alpha, 0.0, ALPHA_MAX), 0.0)
-    T = _transmittance(alpha)
-    w = alpha * T
-    gpx = gout_ref[0]  # [C, P]
-    # dch[c, k] = sum_p gpx[c, p] * w[p, k]
-    dch = jax.lax.dot_general(
-        gpx, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    # gdotc[p, k] = sum_c gpx[c, p] * ch[c, k]
-    gdotc = jax.lax.dot_general(
-        gpx, ch, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    contrib = gdotc * w
-    suffix = _suffix_sum(contrib)
-    dalpha = T * gdotc - suffix / jnp.maximum(1.0 - alpha, 1e-6)
-    dalpha = jnp.where(clamped | ~gmask, 0.0, dalpha)
-    # chain: alpha = op * G, G = exp(-r^2/(2 sig^2));
-    # dG/dgu = G * du/sig^2, dG/dgv = G * dv/sig^2, dG/dsig = G * r^2/sig^3
-    dgauss = dalpha * gop
-    dG_common = dgauss * gauss
-    K = g.shape[1]
-    # assemble by concatenation: value-level .at[].set lowers to an
-    # (unsupported) scatter in Mosaic
-    zero_row = jnp.zeros((1, K), jnp.float32)
-    dg = jnp.concatenate(
-        [
-            jnp.sum(dG_common * du, axis=0, keepdims=True) / sig2,
-            jnp.sum(dG_common * dv, axis=0, keepdims=True) / sig2,
-            jnp.sum(dG_common * r2, axis=0, keepdims=True) / (sig2 * jnp.maximum(gsig, 1e-6)),
-            jnp.sum(dalpha * gauss, axis=0, keepdims=True),
-            zero_row,
-            dch,
-            jnp.zeros((16 - 5 - N_CH, K), jnp.float32),
-        ],
-        axis=0,
-    )
-    dg_ref[0] = dg
+    gout arrives CHANNEL-major [tb, N_CH, P] for the same lane-utilization
+    reason as the forward's output; ``tb`` tiles per step as in the
+    forward."""
+    base = pl.program_id(0) * tb
+    for t in range(tb):
+        px, py = _pixel_grid(base + t, ntx)
+        g = g_ref[t]  # [16, K]
+        gu, gv, gsig, gop = g[0:1, :], g[1:2, :], g[2:3, :], g[3:4, :]
+        gmask = g[4:5, :] > 0.5
+        ch = g[5 : 5 + N_CH, :]  # [C, K]
+        du = px - gu  # [P, K]
+        dv = py - gv
+        sig2 = jnp.maximum(gsig * gsig, 1e-12)  # [1, K]
+        inv2s2 = 0.5 / sig2
+        r2 = du * du + dv * dv
+        gauss = jnp.exp(-r2 * inv2s2)
+        raw_alpha = gop * gauss
+        clamped = raw_alpha > ALPHA_MAX
+        alpha = jnp.where(gmask, jnp.clip(raw_alpha, 0.0, ALPHA_MAX), 0.0)
+        T = _transmittance(alpha)
+        w = alpha * T
+        gpx = gout_ref[t]  # [C, P]
+        # dch[c, k] = sum_p gpx[c, p] * w[p, k]
+        dch = jax.lax.dot_general(
+            gpx, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # gdotc[p, k] = sum_c gpx[c, p] * ch[c, k]
+        gdotc = jax.lax.dot_general(
+            gpx, ch, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        contrib = gdotc * w
+        suffix = _suffix_sum(contrib)
+        dalpha = T * gdotc - suffix / jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = jnp.where(clamped | ~gmask, 0.0, dalpha)
+        # chain: alpha = op * G, G = exp(-r^2/(2 sig^2));
+        # dG/dgu = G * du/sig^2, dG/dgv = G * dv/sig^2, dG/dsig = G * r^2/sig^3
+        dgauss = dalpha * gop
+        dG_common = dgauss * gauss
+        K = g.shape[1]
+        # assemble by concatenation: value-level .at[].set lowers to an
+        # (unsupported) scatter in Mosaic
+        zero_row = jnp.zeros((1, K), jnp.float32)
+        dg = jnp.concatenate(
+            [
+                jnp.sum(dG_common * du, axis=0, keepdims=True) / sig2,
+                jnp.sum(dG_common * dv, axis=0, keepdims=True) / sig2,
+                jnp.sum(dG_common * r2, axis=0, keepdims=True) / (sig2 * jnp.maximum(gsig, 1e-6)),
+                jnp.sum(dalpha * gauss, axis=0, keepdims=True),
+                zero_row,
+                dch,
+                jnp.zeros((16 - 5 - N_CH, K), jnp.float32),
+            ],
+            axis=0,
+        )
+        dg_ref[t] = dg
 
 
 # ---------------------------------------------------------------------------
@@ -342,19 +357,58 @@ def rasterize(u, v, sigma, opacity, channels, tile_ids, tile_mask, ntx, nty):
     return _raster_fwd_impl(u, v, sigma, opacity, channels, (tile_ids, tile_mask), ntx, nty)
 
 
+def _pad_tiles(arrs, n_tiles: int, tb: int):
+    """Zero-pad the tile axis to a multiple of ``tb`` (padded tiles have
+    mask rows = 0 so they render/grad to zeros and are sliced off)."""
+    if n_tiles % tb == 0:
+        return arrs, n_tiles
+    n_pad = ((n_tiles + tb - 1) // tb) * tb
+    out = []
+    for a in arrs:
+        pad = jnp.zeros((n_pad - n_tiles,) + a.shape[1:], a.dtype)
+        out.append(jnp.concatenate([a, pad], 0))
+    return out, n_pad
+
+
+def _fwd_pallas(tiled, ntx: int):
+    """[T, 16, K] -> per-tile rendered blocks [T, N_CH, P]."""
+    n_tiles, _, K = tiled.shape
+    tb = _TB
+    (tiled,), n_pad = _pad_tiles((tiled,), n_tiles, tb)
+    out = _pallas_call(
+        functools.partial(_fwd_kernel, ntx=ntx, tb=tb),
+        grid=(n_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 16, K), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, N_CH, TILE * TILE), jnp.float32),
+    )(tiled)
+    return out[:n_tiles]
+
+
+def _bwd_pallas(tiled, gt, ntx: int):
+    """([T, 16, K], [T, N_CH, P]) -> per-tile attribute grads [T, 16, K]."""
+    n_tiles, _, K = tiled.shape
+    tb = _TB
+    (tiled, gt), n_pad = _pad_tiles((tiled, gt), n_tiles, tb)
+    dg = _pallas_call(
+        functools.partial(_bwd_kernel, ntx=ntx, tb=tb),
+        grid=(n_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 16, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tb, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, 16, K), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 16, K), jnp.float32),
+    )(tiled, gt)
+    return dg[:n_tiles]
+
+
 def _raster_fwd_impl(u, v, sigma, opacity, channels, tile_ids_mask, ntx, nty):
     tile_ids, tile_mask = tile_ids_mask
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
-    n_tiles, _, K = tiled.shape
-    out = _pallas_call(
-        functools.partial(_fwd_kernel, ntx=ntx),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, N_CH, TILE * TILE), jnp.float32),
-    )(tiled)
+    out = _fwd_pallas(tiled, ntx)
     # [T, C, P] -> [H_pad, W_pad, C]
     out = out.reshape(nty, ntx, N_CH, TILE, TILE).transpose(0, 3, 1, 4, 2).reshape(nty * TILE, ntx * TILE, N_CH)
     return out
@@ -368,18 +422,9 @@ def _raster_fwd(u, v, sigma, opacity, channels, tile_ids, tile_mask, ntx, nty):
 def _raster_bwd(ntx, nty, res, gout):
     u, v, sigma, opacity, channels, tile_ids, tile_mask = res
     tiled = _pack_tile_data(u, v, sigma, opacity, channels, tile_ids, tile_mask)
-    n_tiles, _, K = tiled.shape
+    n_tiles = tiled.shape[0]
     gt = gout.reshape(nty, TILE, ntx, TILE, N_CH).transpose(0, 2, 4, 1, 3).reshape(n_tiles, N_CH, TILE * TILE)
-    dg = _pallas_call(
-        functools.partial(_bwd_kernel, ntx=ntx),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
-    )(tiled, gt)
+    dg = _bwd_pallas(tiled, gt, ntx)
     # accumulate per-gaussian over tiles: scatter-free matmul kernel
     flat_idx = tile_ids.reshape(-1)
     flat_dg = (dg.transpose(0, 2, 1) * tile_mask[..., None]).reshape(-1, 16)
@@ -472,19 +517,10 @@ def _raster_dp(mesh, ntx: int, rows_per: int):
     def bwd_body(u, v, sigma, opacity, channels, ti, tm, gt_local):
         voff = (jax.lax.axis_index("dp") * (rows_per * TILE)).astype(v.dtype)
         tiled = _pack_tile_data(u, v - voff, sigma, opacity, channels, ti, tm)
-        n_tiles, _, K = tiled.shape
+        n_tiles = tiled.shape[0]
         gt = gt_local.reshape(rows_per, TILE, ntx, TILE, N_CH).transpose(
             0, 2, 4, 1, 3).reshape(n_tiles, N_CH, TILE * TILE)
-        dg = _pallas_call(
-            functools.partial(_bwd_kernel, ntx=ntx),
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, N_CH, TILE * TILE), lambda i: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 16, K), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
-        )(tiled, gt)
+        dg = _bwd_pallas(tiled, gt, ntx)
         flat_idx = ti.reshape(-1)
         flat_dg = (dg.transpose(0, 2, 1) * tm[..., None]).reshape(-1, 16)
         acc = scatter_add_matmul(flat_idx, flat_dg, u.shape[0])  # [G, 16]
