@@ -510,7 +510,13 @@ class SLAMPipeline:
         if cnt > 0:
             avg = {k: v / cnt for k, v in sums.items()}
             if not np.isfinite(avg["lpips"]):
-                avg["lpips"] = None  # lpips gated on pretrained weights
+                avg["lpips"] = None
+                avg["lpips_unavailable_reason"] = (
+                    "ops/lpips.py needs converted AlexNet+lin weights "
+                    "($XRDSLAM_LPIPS_WEIGHTS) and the torchmetrics "
+                    "fallback needs network; neither is available, so "
+                    "LPIPS parity vs the reference's column is "
+                    "unmeasurable in this environment")
             avg["frames"] = cnt
             print(
                 f"[slam] re-render avg: psnr {avg['psnr']:.2f} dB, "
