@@ -146,6 +146,11 @@ def build_from_registry(name: str, ds, out_dir: str, seed: int = 0):
             a.tracking_Hedge = 50
             cfg.tracker.map_every = 2
             cfg.mapper.keyframe_every = 10
+            # in-scan tracking lr decay (round-5): constant-lr Adam leaves
+            # lr-scale endpoint jitter in the per-frame pose; decaying the
+            # second half of the scan cuts the noise floor
+            a.tracking_lr_decay = float(os.environ.get(
+                "XRDSLAM_TRACK_LR_DECAY", "0.05"))
     elif name == "vox-fusion":
         # Same sequence-dynamics scaling rationale as nice-slam: the
         # registry schedule assumes office0's 2000-frame inter-frame
@@ -158,6 +163,23 @@ def build_from_registry(name: str, ds, out_dir: str, seed: int = 0):
         if motion >= 4:
             a.tracking_n_iters = 60
             cfg.mapper.keyframe_every = max(50 // motion, 2)
+            a.tracking_lr_decay = float(os.environ.get(
+                "XRDSLAM_TRACK_LR_DECAY", "0.05"))
+    elif name == "point-slam":
+        # Same sequence-dynamics scaling rationale as nice-slam/vox-fusion:
+        # the registry schedule is the reference office0 2000-frame config.
+        # Edges halve for the half-res render (reference edge 100 at 1200
+        # wide would mask half of this 600-wide frame), tracking gets more
+        # iterations + in-scan lr decay for the 10x inter-frame motion, and
+        # keyframes keep their per-trajectory density.
+        motion = max(2000 // max(len(ds), 1), 1)
+        if motion >= 4:
+            a.tracking_Wedge = 50
+            a.tracking_Hedge = 50
+            a.tracking_n_iters = 60
+            a.tracking_lr_decay = float(os.environ.get(
+                "XRDSLAM_TRACK_LR_DECAY", "0.05"))
+            cfg.mapper.keyframe_every = 10
     elif name == "splaTAM":
         a.max_keyframes = len(ds) // 5 + 8
     pipeline = cfg.setup(dataset=ds, out_dir=out_dir, verbose=True)
@@ -169,10 +191,11 @@ def build_from_registry(name: str, ds, out_dir: str, seed: int = 0):
     if name == "nice-slam" and max(2000 // max(len(ds), 1), 1) >= 4:
         ov.update(tracking_n_iters=50, tracking_sample=1024,
                   tracking_pose_lr=3e-3, tracking_edge=50, map_every=2,
-                  keyframe_every=10)
+                  keyframe_every=10, tracking_lr_decay=a.tracking_lr_decay)
     if name == "vox-fusion" and max(2000 // max(len(ds), 1), 1) >= 4:
         ov.update(tracking_n_iters=a.tracking_n_iters,
-                  keyframe_every=cfg.mapper.keyframe_every)
+                  keyframe_every=cfg.mapper.keyframe_every,
+                  tracking_lr_decay=a.tracking_lr_decay)
     pipeline._bench_overrides = ov
     return pipeline
 

@@ -40,6 +40,12 @@ class AlgorithmConfig(InstantiateConfig):
     keyframe_selection_method: str = "overlap"
     keyframe_use_ray_sample: bool = True
     tracking_n_iters: int = 10
+    # <1.0: exponentially decay the tracking-pose lr inside the per-frame
+    # scan down to lr*decay at the last iteration. The reference runs Adam
+    # at a constant lr, which leaves lr-scale endpoint jitter in the pose;
+    # at protocol motion scales that jitter dominates ATE (round-5: the
+    # vox-fusion 200-frame error profile is noise-like, not drift-like).
+    tracking_lr_decay: float = 1.0
     mapping_n_iters: int = 60
     mapping_first_n_iters: int = 200
     coarse: bool = False
@@ -75,6 +81,25 @@ class Algorithm:
             from ..parallel.sharded import make_mesh
 
             self.mesh = make_mesh(config.devices)
+
+    @staticmethod
+    def _finite_guard(loss, g):
+        """Zero the grad tree when the loss OR any grad entry is non-finite.
+
+        One bad sample batch inside a lax.scan optimization loop must not
+        poison the remaining iterations: a NaN grad entering the Adam moment
+        state corrupts the optimized table/grid permanently (round-5
+        diagnosis: NICE-SLAM 200-frame collapse, Point-SLAM NaN renders).
+        Grads can be non-finite even when the loss is finite (0/0 branches
+        inside XLA's fused VJPs), so both are checked. Cost: one elementwise
+        isfinite+reduce over the grad tree, negligible next to the VJP."""
+        import jax
+        import jax.numpy as jnp
+
+        ok = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves(g):
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        return jax.tree_util.tree_map(lambda x: jnp.where(ok, x, 0.0), g)
 
     # -- multi-chip ray-DP helpers (parallel/sharded.py) ------------------
     def _replicate_params(self, tree):

@@ -148,6 +148,7 @@ class CoSLAM(Algorithm):
                     jnp.where(better, pose["tracking_pose_t"], best_t),
                     jnp.where(better, pose["tracking_pose_r"], best_r),
                 )
+                g = self._finite_guard(loss, g)
                 pose, opt_state = opt.update(g, opt_state, pose)
                 return (pose, opt_state, best), loss
 
@@ -245,6 +246,7 @@ class CoSLAM(Algorithm):
                     return loss
 
                 loss, g = jax.value_and_grad(loss_fn)(params)
+                g = self._finite_guard(loss, g)
                 params, opt_state = opt.update(g, opt_state, params)
                 return (params, opt_state), loss
 

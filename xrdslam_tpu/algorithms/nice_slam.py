@@ -181,7 +181,20 @@ class NiceSLAM(Algorithm):
 
         # ---------------- tracking -------------------------------------
         def track_step(params, rgb, depth, pose0, key):
-            opt = GroupOptimizers({"tracking_pose": cfg.optimizers["tracking_pose"]["optimizer"]})
+            schedules = None
+            if cfg.tracking_lr_decay < 1.0:
+                lr0 = cfg.optimizers["tracking_pose"]["optimizer"].lr
+                n = max(cfg.tracking_n_iters - 1, 1)
+
+                def _sched(step, lr0=lr0, n=n):
+                    # full lr for the first half, exp decay to lr*decay over
+                    # the second half (see voxfusion.track_step)
+                    frac = jnp.clip(2.0 * step / n - 1.0, 0.0, 1.0)
+                    return lr0 * cfg.tracking_lr_decay ** frac
+
+                schedules = {"tracking_pose": _sched}
+            opt = GroupOptimizers({"tracking_pose": cfg.optimizers["tracking_pose"]["optimizer"]},
+                                  schedules=schedules)
             pvars = {"tracking_pose": pose0}
             opt_state = opt.init(pvars)
 
@@ -208,10 +221,7 @@ class NiceSLAM(Algorithm):
                 best_loss, best_pose = best
                 better = loss < best_loss
                 best = (jnp.where(better, loss, best_loss), jnp.where(better, pvars["tracking_pose"], best_pose))
-                # finite guard: one bad sample batch must not poison the
-                # remaining scan iterations (NaN grads -> NaN pose forever)
-                g = jax.tree_util.tree_map(
-                    lambda x: jnp.where(jnp.isfinite(loss), x, 0.0), g)
+                g = self._finite_guard(loss, g)
                 pvars, opt_state = opt.update(g, opt_state, pvars)
                 # keep the 7-vector on the quaternion manifold: Adam at the
                 # protocol-scale lr (3e-3 x 50 iters) denormalizes |q| enough
@@ -274,10 +284,7 @@ class NiceSLAM(Algorithm):
                         for gn in grid_names:
                             if gn in g and gn in masks:
                                 g[gn] = g[gn] * masks[gn]
-                    # finite guard (see track_step): skip the update on a
-                    # non-finite loss rather than poisoning grids + poses
-                    g = jax.tree_util.tree_map(
-                        lambda x: jnp.where(jnp.isfinite(loss), x, 0.0), g)
+                    g = self._finite_guard(loss, g)
                     ap, opt_state = opt.update(g, opt_state, ap)
                     if "pose" in ap:
                         pz = ap["pose"]

@@ -188,6 +188,7 @@ class PointSLAM(Algorithm):
                 best_loss, bp = best
                 better = loss < best_loss
                 best = (jnp.where(better, loss, best_loss), jnp.where(better, pv["tracking_pose"], bp))
+                g = self._finite_guard(loss, g)
                 pv, opt_state = opt.update(g, opt_state, pv)
                 return (pv, opt_state, best), loss
 
@@ -264,6 +265,7 @@ class PointSLAM(Algorithm):
                         return loss
 
                     loss, g = jax.value_and_grad(loss_fn)(ap)
+                    g = self._finite_guard(loss, g)
                     ap, opt_state = opt.update(g, opt_state, ap)
                     return (ap, opt_state), loss
 

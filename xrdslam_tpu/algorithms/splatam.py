@@ -149,6 +149,7 @@ class SplaTAM(Algorithm):
                     jnp.where(better, pose["tracking_pose_t"], bt),
                     jnp.where(better, pose["tracking_pose_r"], bq),
                 )
+                g = self._finite_guard(loss, g)
                 pose, opt_state = opt.update(g, opt_state, pose)
                 return (pose, opt_state, best), loss
 
@@ -190,6 +191,7 @@ class SplaTAM(Algorithm):
                 if densify:
                     diff["_duv"] = jnp.zeros((G, 2), jnp.float32)
                 loss, g = jax.value_and_grad(loss_fn)(diff)
+                g = self._finite_guard(loss, g)
                 upd, opt_state = opt.update({k2: g[k2] for k2 in GAUSS_GROUPS}, opt_state, gp)
                 # freeze dead/unallocated rows (the reference deletes them
                 # outright; a frozen row in a fixed table is equivalent)
