@@ -182,6 +182,19 @@ def build_from_registry(name: str, ds, out_dir: str, seed: int = 0):
             cfg.mapper.keyframe_every = 10
     elif name == "splaTAM":
         a.max_keyframes = len(ds) // 5 + 8
+        # Sequence-dynamics + wall-clock scaling (round-5): the registry
+        # schedule (40 track / 60 map iters, map_every=1) is the reference
+        # office0 2000-frame config; the mapping program alone costs
+        # 11.3 s/frame at this resolution (measured r5 per-op profile,
+        # docs/benchmark.md), so 200 frames ~ 40 min — past any sweep
+        # budget. Halving mapping iterations keeps every frame mapped and
+        # cuts the steady frame to ~6.5 s; tracking (cheap, 12 ms/iter)
+        # keeps its 40 iters and gains the lr-decay endpoint control.
+        motion = max(2000 // max(len(ds), 1), 1)
+        if motion >= 4:
+            a.mapping_n_iters = 30
+            a.tracking_lr_decay = float(os.environ.get(
+                "XRDSLAM_TRACK_LR_DECAY", "0.05"))
     pipeline = cfg.setup(dataset=ds, out_dir=out_dir, verbose=True)
     # record every knob this bench changed vs the reference registry config
     # inside the result row, so a pass is reproducible from the artifact
@@ -195,6 +208,13 @@ def build_from_registry(name: str, ds, out_dir: str, seed: int = 0):
     if name == "vox-fusion" and max(2000 // max(len(ds), 1), 1) >= 4:
         ov.update(tracking_n_iters=a.tracking_n_iters,
                   keyframe_every=cfg.mapper.keyframe_every,
+                  tracking_lr_decay=a.tracking_lr_decay)
+    if name == "point-slam" and max(2000 // max(len(ds), 1), 1) >= 4:
+        ov.update(tracking_edge=50, tracking_n_iters=a.tracking_n_iters,
+                  keyframe_every=cfg.mapper.keyframe_every,
+                  tracking_lr_decay=a.tracking_lr_decay)
+    if name == "splaTAM" and max(2000 // max(len(ds), 1), 1) >= 4:
+        ov.update(mapping_n_iters=a.mapping_n_iters,
                   tracking_lr_decay=a.tracking_lr_decay)
     pipeline._bench_overrides = ov
     return pipeline

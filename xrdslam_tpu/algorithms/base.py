@@ -101,6 +101,27 @@ class Algorithm:
             ok = ok & jnp.all(jnp.isfinite(leaf))
         return jax.tree_util.tree_map(lambda x: jnp.where(ok, x, 0.0), g)
 
+    def _tracking_lr_schedule(self, lr0: float):
+        """Per-frame tracking lr schedule, or None when decay is disabled.
+
+        Full lr for the first half of the tracking scan (cover the
+        inter-frame motion), exponential decay to ``lr0 * tracking_lr_decay``
+        at the last iteration (kill the constant-lr endpoint jitter the
+        reference's torch Adam leaves in the pose — see
+        ``AlgorithmConfig.tracking_lr_decay``)."""
+        import jax.numpy as jnp
+
+        decay = self.config.tracking_lr_decay
+        if decay >= 1.0:
+            return None
+        n = max(self.config.tracking_n_iters - 1, 1)
+
+        def sched(step, lr0=lr0, n=n, decay=decay):
+            frac = jnp.clip(2.0 * step / n - 1.0, 0.0, 1.0)
+            return lr0 * decay ** frac
+
+        return sched
+
     # -- multi-chip ray-DP helpers (parallel/sharded.py) ------------------
     def _replicate_params(self, tree):
         """Replicate a parameter pytree over the mesh (no-op single-chip)."""

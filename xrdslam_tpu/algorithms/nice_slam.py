@@ -181,20 +181,9 @@ class NiceSLAM(Algorithm):
 
         # ---------------- tracking -------------------------------------
         def track_step(params, rgb, depth, pose0, key):
-            schedules = None
-            if cfg.tracking_lr_decay < 1.0:
-                lr0 = cfg.optimizers["tracking_pose"]["optimizer"].lr
-                n = max(cfg.tracking_n_iters - 1, 1)
-
-                def _sched(step, lr0=lr0, n=n):
-                    # full lr for the first half, exp decay to lr*decay over
-                    # the second half (see voxfusion.track_step)
-                    frac = jnp.clip(2.0 * step / n - 1.0, 0.0, 1.0)
-                    return lr0 * cfg.tracking_lr_decay ** frac
-
-                schedules = {"tracking_pose": _sched}
+            sched = self._tracking_lr_schedule(cfg.optimizers["tracking_pose"]["optimizer"].lr)
             opt = GroupOptimizers({"tracking_pose": cfg.optimizers["tracking_pose"]["optimizer"]},
-                                  schedules=schedules)
+                                  schedules={"tracking_pose": sched} if sched else None)
             pvars = {"tracking_pose": pose0}
             opt_state = opt.init(pvars)
 

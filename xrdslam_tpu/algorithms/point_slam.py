@@ -160,7 +160,9 @@ class PointSLAM(Algorithm):
         H, W = self.camera.height, self.camera.width
 
         def track_step(params, maps, rgbdr, pose0, key):
-            opt = GroupOptimizers({"tracking_pose": self._opt_cfgs["tracking_pose"]})
+            sched = self._tracking_lr_schedule(self._opt_cfgs["tracking_pose"].lr)
+            opt = GroupOptimizers({"tracking_pose": self._opt_cfgs["tracking_pose"]},
+                                  schedules={"tracking_pose": sched} if sched else None)
             pv = {"tracking_pose": pose0}
             opt_state = opt.init(pv)
 

@@ -124,8 +124,11 @@ class SplaTAM(Algorithm):
         self._bin_jit = jax.jit(binning)
 
         def track_step(params, dead, count, rgb, depth, t0, q0, tiles, mask, key, *, ntx, nty):
+            sch_r = self._tracking_lr_schedule(self._opt_cfgs["tracking_pose_r"].lr)
+            sch_t = self._tracking_lr_schedule(self._opt_cfgs["tracking_pose_t"].lr)
             opt = GroupOptimizers(
-                {"tracking_pose_r": self._opt_cfgs["tracking_pose_r"], "tracking_pose_t": self._opt_cfgs["tracking_pose_t"]}
+                {"tracking_pose_r": self._opt_cfgs["tracking_pose_r"], "tracking_pose_t": self._opt_cfgs["tracking_pose_t"]},
+                schedules={"tracking_pose_r": sch_r, "tracking_pose_t": sch_t} if sch_r else None,
             )
             pose = {"tracking_pose_r": q0, "tracking_pose_t": t0}
             opt_state = opt.init(pose)

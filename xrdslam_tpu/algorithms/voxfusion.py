@@ -92,22 +92,10 @@ class VoxFusion(Algorithm):
         H, W = self.camera.height, self.camera.width
 
         def track_step(params, maps, rgb, depth, t0, r0, key):
-            schedules = None
-            if cfg.tracking_lr_decay < 1.0:
-                lr0 = self._opt_cfgs["tracking_pose"].lr
-                n = max(cfg.tracking_n_iters - 1, 1)
-
-                def _sched(step, lr0=lr0, n=n):
-                    # full lr for the first half (cover the inter-frame
-                    # motion), exponential decay to lr*decay over the second
-                    # half (kill the constant-lr endpoint jitter)
-                    frac = jnp.clip(2.0 * step / n - 1.0, 0.0, 1.0)
-                    return lr0 * cfg.tracking_lr_decay ** frac
-
-                schedules = {"tracking_pose_r": _sched, "tracking_pose_t": _sched}
+            sched = self._tracking_lr_schedule(self._opt_cfgs["tracking_pose"].lr)
             opt = GroupOptimizers(
                 {"tracking_pose_r": self._opt_cfgs["tracking_pose"], "tracking_pose_t": self._opt_cfgs["tracking_pose"]},
-                schedules=schedules,
+                schedules={"tracking_pose_r": sched, "tracking_pose_t": sched} if sched else None,
             )
             pose = {"tracking_pose_r": r0, "tracking_pose_t": t0}
             opt_state = opt.init(pose)
