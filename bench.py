@@ -57,6 +57,11 @@ def build_pipeline(encoding: str, ds, out_dir: str, seed: int = 0):
         algorithm=CoSLAMConfig(
             separate_LR=True,
             rot_rep="axis_angle",
+            # endpoint-jitter control (off by default at this 60-frame
+            # protocol's ~33x inter-frame motion — 10 iters may need the
+            # full lr throughout; tools/diag_seed.py sweeps this knob)
+            tracking_lr_decay=float(os.environ.get(
+                "XRDSLAM_TRACK_LR_DECAY", "1.0")),
             tracking_n_iters=10,
             mapping_n_iters=10,
             mapping_first_n_iters=200,

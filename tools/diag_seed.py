@@ -35,7 +35,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--encoding", type=str, default="triplane")
+    ap.add_argument("--decay", type=float, default=None,
+                    help="set XRDSLAM_TRACK_LR_DECAY for this sweep (tests "
+                         "the endpoint-jitter hypothesis for the seed-2 "
+                         "outlier)")
+    ap.add_argument("--out", type=str, default="/tmp/diag_seed.json")
     args = ap.parse_args()
+    if args.decay is not None:
+        os.environ["XRDSLAM_TRACK_LR_DECAY"] = str(args.decay)
 
     import bench
 
@@ -64,10 +71,10 @@ def main():
                     "max_err_cm": round(float(errs.max()), 3),
                     "worst_frame": worst,
                     "per_frame_cm": [round(float(e), 2) for e in errs]})
-        with open("/tmp/diag_seed.json", "w") as f:
+        with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
     ates = [o["ate_cm"] for o in out]
-    print(json.dumps({"ates": ates,
+    print(json.dumps({"decay": args.decay, "ates": ates,
                       "mean": round(float(np.mean(ates)), 3),
                       "std": round(float(np.std(ates)), 3)}))
 

@@ -114,8 +114,11 @@ class CoSLAM(Algorithm):
 
         # ---------------- tracking -------------------------------------
         def track_step(model_params, rgb, depth, t0, r0, key):
+            sch_r = self._tracking_lr_schedule(self._opt_cfgs["tracking_pose_r"].lr)
+            sch_t = self._tracking_lr_schedule(self._opt_cfgs["tracking_pose_t"].lr)
             opt = GroupOptimizers(
-                {"tracking_pose_r": self._opt_cfgs["tracking_pose_r"], "tracking_pose_t": self._opt_cfgs["tracking_pose_t"]}
+                {"tracking_pose_r": self._opt_cfgs["tracking_pose_r"], "tracking_pose_t": self._opt_cfgs["tracking_pose_t"]},
+                schedules={"tracking_pose_r": sch_r, "tracking_pose_t": sch_t} if sch_r else None,
             )
             pose = {"tracking_pose_r": r0, "tracking_pose_t": t0}
             opt_state = opt.init(pose)
