@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--out", type=str, default="pretrained/dpvo_synth.npz")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse --out weights, only run the pipeline")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue training from --out instead of fresh init "
+                         "(the committed pretrained/dpvo_synth.npz is 400 "
+                         "fresh iters at lr 2e-4 + 1600 resumed iters at "
+                         "lr 1e-4, seed 1)")
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--train-seed", type=int, default=0)
     args = ap.parse_args()
 
     from xrdslam_tpu.common.synthetic import SyntheticDataset
@@ -44,11 +51,14 @@ def main():
         ds_tr = SyntheticDataset(n_frames=16, height=args.height,
                                  width=args.width, scene="office")
         ds_tr.prerender(batch=4, verbose=True)
-        net = VONet(VONetConfig())
+        if args.resume and os.path.exists(args.out):
+            params0 = T.load_params(args.out)
+        else:
+            params0 = VONet(VONetConfig()).params
         t0 = time.time()
-        params, losses = T.train(net.params, ds_tr, n_iters=args.train_iters,
+        params, losses = T.train(params0, ds_tr, n_iters=args.train_iters,
                                  m=64, chunk=64, noise_px=3.0, log_every=50,
-                                 seed=0)
+                                 lr=args.lr, seed=args.train_seed)
         print(f"[dpvo] trained {args.train_iters} iters in {time.time()-t0:.0f}s; "
               f"loss {np.mean(losses[:10]):.4f} -> {np.mean(losses[-10:]):.4f}",
               flush=True)
